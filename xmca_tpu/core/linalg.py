@@ -1,0 +1,130 @@
+"""MXU-friendly linear-algebra primitives for the MCA solve pipeline.
+
+The reference delegates all linear algebra to host LAPACK
+(``np.linalg.svd`` at xmca/array.py:479,570).  On TPU the FLOPs belong on the
+MXU, so the workhorse here is the *Gram-matrix trick*: instead of a direct
+SVD of a tall(or wide) data matrix ``X (n, p)``, form the small Gram matrix
+on the MXU (one large matmul), eigendecompose the small side, and recover the
+other factor with a second matmul.  Only ``min(n, p) x min(n, p)``
+eigendecompositions ever run, everything else is dense matmul — exactly what
+the hardware wants.  A direct-SVD path is kept for maximum-accuracy parity
+runs, and a randomized range-finder path covers tall-skinny fields where only
+the leading modes are needed (BASELINE.md north star).
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _rank_eps(dtype):
+    return jnp.finfo(jnp.real(jnp.zeros((), dtype)).dtype).eps
+
+
+def safe_reciprocal(s, rel_cutoff=None):
+    """1/s with entries below a relative cutoff zeroed (rank deficiency)."""
+    if rel_cutoff is None:
+        rel_cutoff = _rank_eps(s.dtype) * s.shape[-1] * 10
+    cutoff = jnp.max(s, axis=-1, keepdims=True) * rel_cutoff
+    return jnp.where(s > cutoff, 1.0 / jnp.where(s > cutoff, s, 1.0), 0.0)
+
+
+@partial(jax.jit, static_argnames=('method',))
+def field_decomposition(X, method='gram'):
+    """Thin SVD ``X = K @ diag(L) @ M^H`` with ``r = min(n, p)`` modes.
+
+    Replaces the per-field LAPACK SVD of the reference's PCA pre-step
+    (xmca/array.py:474-483,552).
+
+    method='gram' (TPU-native): eigendecompose the smaller Gram matrix
+        (``X^H X`` if p <= n else ``X X^H``) — two big MXU matmuls plus one
+        small ``eigh``.
+    method='svd': direct ``jnp.linalg.svd`` (closest to the reference's
+        LAPACK numerics; useful for f64 parity runs on CPU).
+
+    Returns
+    -------
+    K : (n, r) left singular vectors
+    L : (r,)  singular values, descending
+    M : (p, r) right singular vectors
+    """
+    n, p = X.shape
+    r = min(n, p)
+    if method == 'svd':
+        K, L, Mh = jnp.linalg.svd(X, full_matrices=False)
+        return K, L, Mh.conj().T
+    if method != 'gram':
+        raise ValueError('method must be one of {"gram", "svd"}')
+
+    if p <= n:
+        C = X.conj().T @ X                      # (p, p) on the MXU
+        w, V = jnp.linalg.eigh(C)               # ascending
+        w = jnp.flip(w, -1)
+        V = jnp.flip(V, -1)
+        L = jnp.sqrt(jnp.clip(w, 0.0))
+        K = X @ (V * safe_reciprocal(L))        # (n, p) MXU matmul
+        M = V
+    else:
+        G = X @ X.conj().T                      # (n, n) on the MXU
+        w, Q = jnp.linalg.eigh(G)
+        w = jnp.flip(w, -1)
+        Q = jnp.flip(Q, -1)
+        L = jnp.sqrt(jnp.clip(w, 0.0))
+        K = Q
+        M = X.conj().T @ (Q * safe_reciprocal(L))
+    return K[:, :r], L[:r], M[:, :r]
+
+
+@partial(jax.jit, static_argnames=('n_modes', 'n_iter'))
+def randomized_decomposition(X, key, n_modes, n_iter=2):
+    """Randomized thin SVD of ``X (n, p)`` truncated to ``n_modes``.
+
+    Halko-Martinsson-Tropp range finder with power iterations — all dense
+    matmuls + small QR, the TPU-native fast path for very tall/wide fields
+    when only the leading modes are wanted.  Oversamples by ~10 internally.
+    """
+    n, p = X.shape
+    k = min(n_modes + 10, n, p)
+    real_dtype = jnp.real(jnp.zeros((), X.dtype)).dtype
+    omega = jax.random.normal(key, (p, k), dtype=real_dtype).astype(X.dtype)
+    Y = X @ omega                                     # (n, k)
+    Q, _ = jnp.linalg.qr(Y)
+    for _ in range(n_iter):
+        Z, _ = jnp.linalg.qr(X.conj().T @ Q)          # (p, k)
+        Q, _ = jnp.linalg.qr(X @ Z)                   # (n, k)
+    B = Q.conj().T @ X                                # (k, p)
+    Ub, s, Vh = jnp.linalg.svd(B, full_matrices=False)
+    K = Q @ Ub
+    r = min(n_modes, k)
+    return K[:, :r], s[:r], Vh.conj().T[:, :r]
+
+
+def unitary_polar_factor(A, method='svd'):
+    """Unitary polar factor of ``A`` plus its nuclear norm.
+
+    The varimax update (reference xmca/tools/rotation.py:59-61) is
+    ``R = U V^H`` from an SVD of the criterion matrix with convergence
+    tracked by ``sum(s)``.  ``U V^H`` is exactly the unitary factor of the
+    polar decomposition ``A = W P`` and ``sum(s) = trace(P)``, so on TPU we
+    can use the QDWH polar iteration (matmul/QR only, no SVD) via
+    ``jax.scipy.linalg.polar``.
+
+    Returns (W, nuclear_norm).
+    """
+    if method == 'polar':
+        W, P = jax.scipy.linalg.polar(A, side='right')
+        return W, jnp.trace(P).real
+    u, s, vh = jnp.linalg.svd(A)
+    return u @ vh, jnp.sum(s)
+
+
+@jax.jit
+def pinv_hermitian_diag(H):
+    """``diag(diag(inv(H)))`` with pseudo-inverse fallback semantics.
+
+    Used by promax (reference xmca/tools/rotation.py:131-134).  ``pinv``
+    coincides with ``inv`` for nonsingular matrices and degrades gracefully
+    for singular ones, which matches the reference's try/except fallback
+    without data-dependent control flow.
+    """
+    return jnp.diag(jnp.diag(jnp.linalg.pinv(H)))

@@ -1,0 +1,124 @@
+"""Batched preprocessing transforms: centering, weighting, complexification.
+
+The reference complexifies via ``scipy.signal.hilbert`` (FFT on host,
+xmca/array.py:464) with optional per-column statsmodels Theta forecasts in a
+Python loop (xmca/array.py:417 — the reference's hottest loop).  Here the
+Hilbert transform is a batched ``jnp.fft`` kernel over all columns at once
+and the extensions are fully vectorized jitted transforms, so the whole
+complexify step is one XLA graph.
+"""
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from xmca_tpu.core.theta import theta_forecast
+
+
+def _analytic_weights(n, dtype):
+    """FFT weights of the analytic-signal transform (scipy.signal.hilbert)."""
+    h = np.zeros(n, dtype=dtype)
+    if n % 2 == 0:
+        h[0] = h[n // 2] = 1.0
+        h[1:n // 2] = 2.0
+    else:
+        h[0] = 1.0
+        h[1:(n + 1) // 2] = 2.0
+    return h
+
+
+@jax.jit
+def analytic_signal(x):
+    """Analytic signal of ``x (time, space)`` along axis 0.
+
+    Batched FFT equivalent of ``scipy.signal.hilbert(x, axis=0)``
+    (reference call site: xmca/array.py:464).
+    """
+    n = x.shape[0]
+    Xf = jnp.fft.fft(x, axis=0)
+    h = _analytic_weights(n, np.result_type(jnp.zeros((), Xf.dtype).real.dtype))
+    return jnp.fft.ifft(Xf * h[:, None], axis=0)
+
+
+@jax.jit
+def exp_forecast(field, period):
+    """Linear + decaying-exponential continuation of every column.
+
+    Vectorized re-derivation of the reference's ``_exp_forecast``
+    (xmca/array.py:394-411): fit a linear trend per column, continue it for
+    ``n`` more steps, and add the end-point offset decaying with e-folding
+    time ``period``.
+
+    Note: the reference's helper ``_get_reg_coefs`` (xmca/array.py:378-392)
+    computes the regression slope as ``cov / mean(x)**2`` — its ``xstd``
+    variable actually holds the *mean* of ``x``.  We use the correct OLS
+    slope ``cov / var(x)``; the extension exists only to damp Hilbert edge
+    effects and the proper trend serves that purpose strictly better.
+    """
+    n = field.shape[0]
+    x = jnp.arange(n, dtype=field.dtype)
+    xmean = (n - 1) / 2.0
+    xvar = jnp.mean((x - xmean) ** 2)
+    ymean = jnp.mean(field, axis=0)
+    cov = jnp.sum((x - xmean)[:, None] * (field - ymean), axis=0) / n
+    slope = cov / xvar
+    intercept = ymean - xmean * slope
+
+    linear_end = slope * x[-1] + intercept
+    offset = field[-1, :] - linear_end
+
+    # start at 1: exp(0) would duplicate the final sample
+    x_shift = (x + 1.0)[:, None]
+    exp_ext = offset[None, :] * jnp.exp(-x_shift / period)
+    lin_ext = slope[None, :] * x[:, None] + linear_end[None, :]
+    return exp_ext + lin_ext
+
+
+def extend_field(field, method, period):
+    """Forecast continuation of all columns (`method` in {'exp','theta'}).
+
+    Mirrors reference ``_extend`` (xmca/array.py:413-427); backcasts are
+    produced by the caller by flipping the time axis.
+    """
+    if method == 'theta':
+        return theta_forecast(
+            field, steps=field.shape[0], period=int(period), theta=20.0
+        )
+    if method == 'exp':
+        return exp_forecast(field, float(period))
+    raise ValueError(
+        '{:} is not a valid extension. Choose either `exp` or `theta`.'
+        .format(method)
+    )
+
+
+@partial(jax.jit, static_argnames=('extend', 'period'))
+def complexify(field, extend=False, period=1):
+    """Hilbert-complexify a centered field, optionally pre/post extended.
+
+    Parity with reference ``_complexify`` (xmca/array.py:429-472): when
+    extended, the analytic signal of [backcast | field | forecast] is cut
+    back to the middle third and re-centered.
+    """
+    field = field.real
+    n = field.shape[0]
+    if extend:
+        post = extend_field(field, extend, period)
+        pre = jnp.flip(extend_field(jnp.flip(field, 0), extend, period), 0)
+        full = jnp.concatenate([pre, field, post], axis=0)
+        analytic = analytic_signal(full)[n:2 * n]
+        return analytic - jnp.mean(analytic, axis=0)
+    return analytic_signal(field)
+
+
+@jax.jit
+def center(field):
+    """Remove the temporal mean (reference ``_center``, xmca/array.py:199)."""
+    return field - jnp.mean(field, axis=0)
+
+
+@jax.jit
+def standardize(field, std):
+    """Divide by a per-column standard deviation (reference ``normalize``)."""
+    return field / std

@@ -1,0 +1,119 @@
+"""Varimax / Promax rotation as jit-able fixed-point iterations.
+
+Re-derivation of the reference's rotation module (xmca/tools/rotation.py)
+for XLA: the data-dependent ``for``-loop with early ``break`` becomes a
+``lax.while_loop``; non-convergence is reported through a boolean flag
+instead of a Python ``RuntimeError`` so the whole rotation can live inside
+``vmap``-ped Monte-Carlo ensembles (the reference *skips* non-converged
+surrogate runs at xmca/array.py:1759-1763 — with a flag we can mask instead).
+
+Math parity notes (vs xmca/tools/rotation.py:15-149):
+* Kaiser row-normalization before the iteration, de-normalization after.
+* Criterion matrix ``A^H (B^2 conj(B) - gamma/n * B diag(colsum |B|^2))``
+  with the update ``R <- unitary-polar-factor(criterion)`` and convergence
+  on the relative change of the nuclear norm — identical to the SVD-based
+  update ``R = U V^H``, ``d = sum(s)``.
+* Complex-safe throughout (conjugates, not transposes).
+* Promax: varimax, Kaiser pre-normalization by communalities, column
+  max-normalization, Procrustes target ``Xn |Xn|^(p-1)``, regression fit,
+  rescale by ``sqrt(diag(inv(L^H L)))``, correlation ``phi``.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from xmca_tpu.core.linalg import unitary_polar_factor
+
+
+@partial(jax.jit, static_argnames=('max_iter', 'polar_method'))
+def varimax(A, gamma=1.0, max_iter=1000, tol=1e-8, polar_method='svd'):
+    """Orthogonal Varimax rotation with Kaiser normalization.
+
+    Parameters mirror the reference (xmca/tools/rotation.py:15); `gamma=1`
+    is varimax, `gamma=0` quartimax.
+
+    Returns
+    -------
+    B : rotated loadings, same shape as ``A`` (rows: variables, cols: modes)
+    R : (p, p) rotation matrix
+    converged : bool scalar — reference raises RuntimeError when False
+    n_iter : number of iterations executed
+    """
+    n, p = A.shape
+    dtype = A.dtype
+
+    # Kaiser normalization: scale rows to unit communality
+    h = jnp.sqrt(jnp.sum((A * A.conj()).real, axis=1))
+    An = A * (1.0 / h)[:, None].astype(dtype)
+
+    gamma_n = jnp.asarray(gamma / n, dtype=jnp.real(jnp.zeros((), dtype)).dtype)
+
+    def body(state):
+        i, R, d, _ = state
+        basis = An @ R
+        col_ss = jnp.sum((basis * basis.conj()).real, axis=0)
+        criterion = An.conj().T @ (
+            basis ** 2 * basis.conj() - gamma_n * (basis * col_ss[None, :])
+        )
+        R_new, d_new = unitary_polar_factor(criterion, method=polar_method)
+        return i + 1, R_new, d_new, d
+
+    def cond(state):
+        i, _, d, d_old = state
+        keep = jnp.abs(d - d_old) / jnp.where(d == 0, 1.0, d) >= tol
+        return jnp.logical_and(i < max_iter, jnp.logical_or(i == 0, keep))
+
+    R0 = jnp.eye(p, dtype=dtype)
+    zero = jnp.zeros((), jnp.real(jnp.zeros((), dtype)).dtype)
+    i, R, d, d_old = jax.lax.while_loop(cond, body, (0, R0, zero, zero))
+
+    converged = jnp.abs(d - d_old) / jnp.where(d == 0, 1.0, d) < tol
+    # de-normalize (A == h * An) and rotate
+    B = A @ R
+    return B, R, converged, i
+
+
+@partial(jax.jit, static_argnames=('power', 'max_iter', 'polar_method'))
+def promax(A, power=1, max_iter=1000, tol=1e-8, polar_method='svd'):
+    """Oblique Promax rotation (power=1 reduces to Varimax).
+
+    Returns (B, R, phi, converged, n_iter); the reference's signature plus
+    the convergence flag (xmca/tools/rotation.py:84-149).
+    """
+    n, p = A.shape
+    dtype = A.dtype
+
+    X, R, converged, n_iter = varimax(
+        A, max_iter=max_iter, tol=tol, polar_method=polar_method
+    )
+    if power == 1:
+        # Varimax: orthogonal rotation, PCs stay uncorrelated
+        phi = jnp.eye(p, dtype=dtype)
+        return X, R, phi, converged, n_iter
+
+    # Kaiser pre-normalization by communalities
+    h = jnp.sqrt(jnp.sum((X * X.conj()).real, axis=1))
+    Xn_rows = X * (1.0 / h)[:, None].astype(dtype)
+
+    # column max-normalization
+    Xn = Xn_rows / jnp.max(jnp.abs(Xn_rows), axis=0)[None, :]
+
+    # Procrustes target (Richman 1986)
+    P = Xn * jnp.abs(Xn) ** (power - 1)
+
+    # least-squares fit L = (X^H X)^-1 X^H P
+    G = Xn_rows.conj().T @ Xn_rows
+    L = jnp.linalg.solve(G, Xn_rows.conj().T @ P)
+
+    # rescale columns by sqrt(diag(inv(L^H L)))
+    sigma_inv = jnp.diag(jnp.diag(jnp.linalg.pinv(L.conj().T @ L)))
+    L = L @ jnp.sqrt(sigma_inv.astype(dtype))
+
+    B = Xn_rows @ L
+    B = h[:, None].astype(dtype) * B          # Kaiser de-normalization
+    R = R @ L
+
+    L_inv = jnp.linalg.inv(L)
+    phi = L_inv @ L_inv.conj().T
+    return B, R, phi, converged, n_iter
