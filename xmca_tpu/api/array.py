@@ -1,0 +1,1113 @@
+"""``MCA`` — the ndarray-facing model class.
+
+Method-for-method re-implementation of the reference's ``xmca.array.MCA``
+(xmca/array.py:30-2024) on top of the jitted TPU core: ingestion and NaN
+masking happen once on host (static shapes for XLA), everything numerical —
+complexification, the Gram-trick solve, rotation, Monte-Carlo ensembles —
+runs as jitted device code.  Results are materialized to NumPy for the
+getter layer, which reproduces the reference's slicing / scaling / phase /
+NaN-scatter semantics exactly.
+
+Intentional deviations from the reference (each noted at the method):
+* ``_scale_X`` applies normalization per field; the reference's loop-scope
+  bug (xmca/array.py:269-272) applied it only to the last field when called
+  with a multi-field dict (never triggered through its public API).
+* ``bootstrapping`` resamples the original data each run instead of
+  compounding resamples in place (xmca/array.py:1905-1928).
+* SVD sign/phase convention follows XLA's eigendecomposition; singular
+  vectors may differ from LAPACK's by a per-mode unit factor (both are
+  valid; compare with phase alignment).
+"""
+import cmath
+import os
+from datetime import datetime
+
+import numpy as np
+import jax.numpy as jnp
+
+from xmca_tpu.version import __version__
+from xmca_tpu.utils.nan import (get_nan_cols, has_nan_time_steps,
+                                remove_nan_cols)
+from xmca_tpu.utils.text import secure_str, wrap_str
+from xmca_tpu.core import preprocess as _pre
+from xmca_tpu.core import solver as _solver
+from xmca_tpu.core.rotation import promax as _promax
+from xmca_tpu.stats import significance as _sig
+
+_DEFAULT_METHOD = 'gram'
+
+
+class MCA:
+    """Perform MCA/PCA on one or two ``numpy.ndarray`` fields.
+
+    MCA is a more general form of Principal Component Analysis (PCA)
+    for two input fields (left, right).  If only one field is provided,
+    MCA reduces to PCA.
+
+    Solver configuration beyond the reference API can be set with
+    :meth:`set_solver` (decomposition method, ensemble batch size, device
+    mesh for sharded ensembles).
+    """
+
+    def __init__(self, *fields):
+        """Load data fields and store information about data size/shape.
+
+        Parameters mirror the reference constructor (xmca/array.py:39-143):
+        0, 1 or 2 ndarrays whose first dimension is time.
+        """
+        if len(fields) == 0:
+            fields = np.array([])
+
+        if len(fields) > 2:
+            raise ValueError("Too many fields. Pass 1 or 2 fields.")
+
+        if len(fields) == 2:
+            if fields[0].shape[0] != fields[1].shape[0]:
+                raise ValueError(
+                    'Time dimensions of given fields are different. '
+                    'Time series should have same time lengths.'
+                )
+
+        if not all(isinstance(f, np.ndarray) for f in fields):
+            raise TypeError(
+                'One or more fields are not `numpy.ndarray`. '
+                'Please provide `numpy.ndarray` only.'
+            )
+
+        if any(has_nan_time_steps(f) for f in fields):
+            raise ValueError(
+                'One or more fields contain NaN time steps. '
+                'Please remove these prior to analysis.'
+            )
+
+        # field meta information (host side; shapes are static for XLA)
+        self._keys = ['left', 'right']
+        self._fields = {}
+        self._shape = {}
+        self._field_names = {}
+        self._field_means = {}
+        self._field_stds = {}
+        self._fields_spatial_shape = {}
+        self._n_variables = {}
+        self._no_nan_index = {}
+        self._n_observations = {}
+
+        if len(fields) == 1:
+            self._keys.pop()
+        fields = {k: f for k, f in zip(self._keys, fields)}
+
+        self._set_field_meta(fields)
+        fields = self._reshape_to_2d(fields)
+        self._set_no_nan_idx(fields)
+        fields = self._remove_nan_cols(fields)
+        self._set_field_means(fields)
+        self._set_field_stds(fields)
+
+        self._fields = self._center(fields)
+
+        self._analysis = {
+            'version': __version__,
+            'is_bivariate': True if len(self._fields) > 1 else False,
+            # pre-processing
+            'is_normalized': False,
+            'is_coslat_corrected': False,
+            'method': 'pca',
+            # Complex solution
+            'is_complex': False,
+            'extend': False,
+            'theta_period': 365,
+            # Rotated solution
+            'is_rotated': False,
+            'n_rot': 0,
+            'power': 0,
+            # Truncated solution
+            'is_truncated': False,
+            'is_truncated_at': 0,
+            'rank': 0,
+            'total_covariance': 0.0,
+            'total_squared_covariance': 0.0,
+        }
+        self._analysis['method'] = self._get_method_id()
+
+        # TPU solver configuration (extension over the reference)
+        self._solver_method = _DEFAULT_METHOD
+        self._ensemble_batch_size = None
+        self._ensemble_mesh = None
+        self._ensemble_axis = 'ensemble'
+
+    # ------------------------------------------------------------ ingestion
+    def _set_field_meta(self, data):
+        for k, field in data.items():
+            self._shape[k] = field.shape
+            self._n_observations[k] = field.shape[0]
+            self._fields_spatial_shape[k] = field.shape[1:]
+            self._n_variables[k] = int(np.prod(field.shape[1:]))
+            self._field_names[k] = k
+
+    def _reshape_to_2d(self, data):
+        return {
+            k: f.reshape(f.shape[0], int(np.prod(f.shape[1:])))
+            for k, f in data.items()
+        }
+
+    def _set_no_nan_idx(self, data):
+        for k, field in data.items():
+            self._no_nan_index[k] = ~get_nan_cols(field)
+
+    def _remove_nan_cols(self, data):
+        return {k: remove_nan_cols(f) for k, f in data.items()}
+
+    def _set_field_means(self, data):
+        for k, field in data.items():
+            self._field_means[k] = field.mean(axis=0)
+
+    def _set_field_stds(self, data):
+        for k, field in data.items():
+            self._field_stds[k] = field.std(axis=0)
+
+    def _center(self, data):
+        return {
+            k: jnp.asarray(f) - jnp.asarray(f).mean(axis=0)
+            for k, f in data.items()
+        }
+
+    def _get_method_id(self):
+        return 'mca' if self._analysis['is_bivariate'] else 'pca'
+
+    # --------------------------------------------------------------- config
+    def set_solver(self, method=None, batch_size=None, mesh=None,
+                   ensemble_axis='ensemble'):
+        """Configure the TPU solver (extension over the reference API).
+
+        Parameters
+        ----------
+        method : {'gram', 'svd'}, optional
+            Field-decomposition backend.  'gram' (default) eigendecomposes
+            the small Gram matrix — two MXU matmuls; 'svd' uses a direct
+            dense SVD (closest to the reference's LAPACK numerics).
+        batch_size : int, optional
+            Surrogate runs per vmapped batch in Monte-Carlo methods
+            (memory bound).  Auto-sized if None.
+        mesh : jax.sharding.Mesh, optional
+            Device mesh; Monte-Carlo ensembles shard their run axis over
+            ``ensemble_axis``.
+        """
+        if method is not None:
+            if method not in ('gram', 'svd'):
+                raise ValueError("method must be 'gram' or 'svd'")
+            self._solver_method = method
+        if batch_size is not None:
+            self._ensemble_batch_size = batch_size
+        if mesh is not None:
+            self._ensemble_mesh = mesh
+        self._ensemble_axis = ensemble_axis
+
+    def set_field_names(self, left='left', right='right'):
+        """Set names of the left/right field, used in plots and save files."""
+        self._field_names['left'] = left
+        self._field_names['right'] = right
+
+    # ------------------------------------------------------- slicing helper
+    def _get_slice(self, input):
+        """Create a slice from a 1-based int/slice mode spec.
+
+        Parity with reference xmca/array.py:145-173.
+        """
+        if np.issubdtype(type(input), np.integer) or input is None:
+            if input is None:
+                input = self._analysis['rank']
+            output = slice(0, input)
+        elif isinstance(input, slice):
+            try:
+                new_start = max(0, input.start - 1)
+            except TypeError:
+                new_start = 0
+            try:
+                new_stop = min(input.stop, self._analysis['rank'])
+            except TypeError:
+                new_stop = self._analysis['rank']
+            output = slice(new_start, new_stop, input.step)
+        else:
+            raise ValueError(
+                'Invalid type {:}. Must be either int or slice.'
+                .format(type(input))
+            )
+        return output
+
+    def _get_min_mode(self, n=None, rotated=False):
+        n_modes = [self._analysis['rank']]
+        if n is not None:
+            n_modes.append(n)
+        if rotated:
+            n_modes.append(self._analysis['n_rot'])
+        return int(np.min(n_modes))
+
+    # -------------------------------------------------------- preprocessing
+    def apply_weights(self, left=None, right=None):
+        """Apply weights to the left and/or right field.
+
+        Weights broadcast against the packed 2-D (time, space) fields,
+        matching reference xmca/array.py:317-349.
+        """
+        weights = {'left': left, 'right': right}
+        weights = {k: 1 if w is None else w for k, w in weights.items()}
+        self._fields = {
+            k: f * jnp.asarray(np.asarray(weights[k]))
+            for k, f in self._fields.items()
+        }
+
+    def normalize(self):
+        """Normalize each time series by its standard deviation."""
+        for k in self._keys:
+            self._fields[k] = _pre.standardize(
+                self._fields[k], jnp.asarray(self._field_stds[k])
+            )
+        self._analysis['is_normalized'] = True
+        self._analysis['is_coslat_corrected'] = False
+        self._analysis['method'] = self._get_method_id()
+        return None
+
+    def _scale_X(self, data_dict):
+        """Center (and normalize, if flagged) new data, per field.
+
+        Note: applies normalization to *every* field; the reference's
+        version leaks its loop variable so only the last field gets
+        normalized when passed a multi-field dict (xmca/array.py:269-272) —
+        its public API only ever passes single-field dicts, where both
+        behaviors coincide.
+        """
+        scaled = {}
+        for k, field in data_dict.items():
+            field = field - self._field_means[k]
+            if self._analysis['is_normalized']:
+                field = field / self._field_stds[k]
+            scaled[k] = field
+        return scaled
+
+    def _scale_X_inverse(self, data_dict):
+        scaled = {}
+        for k, field in data_dict.items():
+            if self._analysis['is_normalized']:
+                field = field * self._field_stds[k]
+            field = field + self._field_means[k]
+            scaled[k] = field
+        return scaled
+
+    # ------------------------------------------------------------ raw views
+    def _get_X(self, original_scale=False, real=False):
+        X = {k: np.asarray(f) for k, f in self._fields.items()}
+        if real:
+            X = {k: x.real for k, x in X.items()}
+        if original_scale:
+            X = self._scale_X_inverse(X)
+        return X
+
+    def _get_fields(self, original_scale=False):
+        n_obs = self._n_observations['left']
+        n_var = self._n_variables
+        fshape = self._fields_spatial_shape
+        no_nan_idx = self._no_nan_index
+        fields_2d = self._get_X(original_scale=original_scale)
+
+        fields = {}
+        for k, X in fields_2d.items():
+            out = np.zeros([n_obs, n_var[k]], dtype=X.dtype) * np.nan
+            out[:, no_nan_idx[k]] = X
+            fields[k] = out.reshape((n_obs,) + fshape[k])
+        return fields
+
+    def fields(self, original_scale=False):
+        """Return `left` (and `right`) input fields on their original grid."""
+        return self._get_fields(original_scale)
+
+    # ---------------------------------------------------------------- solve
+    def solve(self, complexify=False, extend=False, period=1):
+        """Perform the EOF analysis / MCA.
+
+        Parameters mirror the reference (xmca/array.py:509-603); the whole
+        pipeline — optional Hilbert complexification with exp/theta
+        extension, per-field Gram decompositions, kernel SVD — runs as
+        jitted XLA.
+        """
+        if len(self._fields) == 0:
+            raise RuntimeError(
+                'Fields are empty. Did you forget to load data?'
+            )
+        if any(
+            np.isnan(np.asarray(field)).all()
+            for field in self._fields.values()
+        ):
+            raise RuntimeError(
+                'Fields are empty. Did you forget to load data?'
+            )
+
+        self._analysis['is_complex'] = complexify
+        self._analysis['extend'] = extend
+        self._analysis['theta_period'] = period
+
+        if self._analysis['is_complex']:
+            self._fields = {
+                k: _pre.complexify(f, extend=extend, period=period)
+                for k, f in self._fields.items()
+            }
+
+        fields = [self._fields[k] for k in self._keys]
+        singular_values, Vs = _solver.solve(
+            fields, method=self._solver_method
+        )
+        singular_values = np.asarray(singular_values)
+        self._V = {k: np.asarray(V) for k, V in zip(self._keys, Vs)}
+
+        self._singular_values = singular_values
+        self._variance = singular_values
+        self._var_idx = np.argsort(singular_values)[::-1]
+        self._norm = {k: np.sqrt(singular_values) for k in self._keys}
+
+        self._analysis['total_covariance'] = float(singular_values.sum())
+        self._analysis['total_squared_covariance'] = float(
+            (singular_values ** 2).sum()
+        )
+        self._analysis['rank'] = len(singular_values)
+        self._analysis['is_rotated'] = False
+        self._analysis['n_rot'] = len(singular_values)
+        self._analysis['power'] = 0
+        self._rotation_matrix = np.eye(len(singular_values))
+        self._correlation_matrix = np.eye(len(singular_values))
+        self._analysis['is_truncated_at'] = len(singular_values)
+
+    # --------------------------------------------------------------- rotate
+    def rotate(self, n_rot, power=1, tol=1e-8):
+        """Perform Promax (power>1) / Varimax (power=1) rotation.
+
+        The fixed-point iteration runs as a jitted ``lax.while_loop``
+        (xmca_tpu.core.rotation); parity with reference
+        xmca/array.py:781-844.
+        """
+        if n_rot < 2:
+            raise ValueError('`n_rot` must be > 1')
+        if power < 1:
+            raise ValueError('`power` must be >=1')
+
+        singular_values = self._get_svals(n_rot)
+        sqrt_svals = np.sqrt(singular_values)
+        V = self._get_V(n_rot, rotated=False)
+        n_vars_left = V['left'].shape[0]
+
+        # rotate loadings (Cheng & Dunkerton 1995)
+        L = np.concatenate([V[k] for k in self._keys])
+        L = L * sqrt_svals
+        L_rot, R, Phi, converged, _ = _promax(
+            jnp.asarray(L), power=int(power), max_iter=1000, tol=tol
+        )
+        if not bool(converged):
+            raise RuntimeError(
+                'Rotation process did not converge. Try decreasing the '
+                'tolerance. Invalid NaN entries also might be a problem.'
+            )
+        L_rot = np.asarray(L_rot)
+
+        norm = {}
+        norm['left'] = np.linalg.norm(L_rot[:n_vars_left, :], axis=0)
+        norm['right'] = np.linalg.norm(L_rot[n_vars_left:, :], axis=0)
+        if not self._analysis['is_bivariate']:
+            norm['right'] = norm['left']
+
+        variance = norm['left'] * norm['right']
+        var_idx = np.argsort(variance)[::-1]
+
+        self._norm = norm
+        self._variance = variance
+        self._var_idx = var_idx
+
+        self._rotation_matrix = np.asarray(R)
+        self._correlation_matrix = np.asarray(Phi)
+        self._analysis['is_rotated'] = True
+        self._analysis['n_rot'] = n_rot
+        self._analysis['power'] = power
+
+    def rotation_matrix(self, inverse_transpose=False):
+        """Return the rotation matrix (identity if unrotated)."""
+        try:
+            R = self._rotation_matrix
+        except AttributeError:
+            R = np.eye(len(self.singular_values()))
+        # orthogonal rotations satisfy R == pinv(R)^H
+        if inverse_transpose and self._analysis['power'] > 1:
+            R = np.linalg.pinv(R).conjugate().T
+        return R
+
+    def correlation_matrix(self):
+        """Return the PC correlation matrix (identity unless oblique)."""
+        try:
+            var_idx = self._var_idx
+            return self._correlation_matrix[var_idx, :][:, var_idx]
+        except AttributeError:
+            return np.eye(len(self.singular_values()))
+
+    # -------------------------------------------------------------- getters
+    def _get_svals(self, n=None):
+        modes = self._get_slice(n)
+        try:
+            return self._singular_values[modes]
+        except AttributeError:
+            raise RuntimeError(
+                'Cannot retrieve singular values. '
+                'Please call the method `solve` first.'
+            )
+
+    def _get_norm(self, n=None, sorted=True):
+        modes = self._get_slice(n)
+        try:
+            norm = self._norm
+        except AttributeError:
+            raise RuntimeError(
+                'Cannot retrieve field norms. '
+                'Please call the method `solve` first.'
+            )
+        if sorted:
+            idx = self._var_idx
+            norm = {k: nrm[idx] for k, nrm in norm.items()}
+        return {k: nrm[modes] for k, nrm in norm.items()}
+
+    def _get_variance(self, n=None, sorted=True):
+        norm = self._get_norm(n=n, sorted=sorted)
+        if self._analysis['is_bivariate']:
+            return norm['left'] * norm['right']
+        return norm['left'] ** 2
+
+    def _get_V(self, n=None, rotated=True):
+        if rotated:
+            max_mode = self._analysis['n_rot']
+        else:
+            max_mode = n.stop if isinstance(n, slice) else n
+
+        keep_modes = self._get_slice(n)
+        try:
+            V = {k: v[:, :max_mode] for k, v in self._V.items()}
+        except AttributeError:
+            raise RuntimeError(
+                'Cannot retrieve singular vectors. '
+                'Please call the method `solve` first.'
+            )
+
+        for k in self._keys:
+            if rotated:
+                sqrt_svals = np.sqrt(self._get_svals(max_mode))
+                norm = self._get_norm(max_mode, sorted=False)
+                R = self.rotation_matrix()
+                V[k] = V[k] * sqrt_svals @ R / norm[k]
+                V[k] = V[k][:, self._var_idx]
+            V[k] = V[k][:, keep_modes]
+        return V
+
+    def _get_U(self, n=None, rotated=True):
+        if rotated:
+            max_mode = self._analysis['n_rot']
+        else:
+            max_mode = n.stop if isinstance(n, slice) else n
+
+        keep_modes = self._get_slice(n)
+        V = self._get_V(max_mode, rotated=False)
+        sqrt_svals = np.sqrt(self._get_svals(max_mode))
+        R = self.rotation_matrix(inverse_transpose=True)
+
+        U = {}
+        for k in self._keys:
+            # PC time series: one device matmul per field
+            Uk = np.asarray(self._fields[k] @ jnp.asarray(V[k]))
+            Uk = Uk / sqrt_svals
+            if rotated:
+                Uk = Uk @ R
+                Uk = Uk[:, self._var_idx]
+            U[k] = Uk[:, keep_modes]
+        return U
+
+    def _get_eofs(self, n=None, scaling='None', phase_shift=0, rotated=True):
+        V = self._get_V(n, rotated=rotated)
+        n_var = self._n_variables
+        no_nan_idx = self._no_nan_index
+        field_shape = self._fields_spatial_shape
+        eofs = {}
+
+        for k in self._keys:
+            n_modes = V[k].shape[1]
+            out = np.zeros([n_var[k], n_modes], dtype=V[k].dtype) * np.nan
+            out[no_nan_idx[k], :] = V[k]
+            eof = out.reshape(field_shape[k] + (n_modes,))
+            if self._analysis['is_complex']:
+                eof = eof * cmath.rect(1, phase_shift)
+            if scaling == 'None':
+                pass
+            elif scaling == 'eigen':
+                n_max_mode = V['left'].shape[1]
+                norm = self._get_norm(n_max_mode, sorted=True)
+                eof = eof * norm[k]
+            elif scaling == 'max':
+                eof = eof / np.nanmax(abs(eof.real), axis=(0, 1))
+            elif scaling == 'std':
+                eof = eof / np.nanstd(eof.real, axis=(0, 1))
+            else:
+                raise ValueError(
+                    'The scaling option {:} is not valid. Please choose '
+                    'one of the following: None, eigen, std, max'
+                    .format(scaling)
+                )
+            eofs[k] = eof
+        return eofs
+
+    def _get_pcs(self, n=None, scaling='None', phase_shift=0, rotated=True):
+        U = self._get_U(n, rotated=rotated)
+        for k in self._keys:
+            if self._analysis['is_complex']:
+                U[k] = U[k] * cmath.rect(1, phase_shift)
+            if scaling == 'None':
+                pass
+            elif scaling == 'eigen':
+                norm = self._get_norm(n, sorted=True)
+                U[k] = U[k] * norm[k]
+            elif scaling == 'max':
+                U[k] = U[k] / np.nanmax(abs(U[k].real), axis=0)
+            elif scaling == 'std':
+                U[k] = U[k] / np.nanstd(U[k].real, axis=0)
+            else:
+                raise ValueError(
+                    'The scaling option {:} is not valid. Please choose '
+                    'one of the following: None, eigen, std, max'
+                    .format(scaling)
+                )
+        return U
+
+    def singular_values(self, n=None):
+        """Return the first `n` singular values."""
+        return self._get_svals(n)
+
+    def norm(self, n=None, sorted=True):
+        """Return the L2 norm of the first `n` singular vectors."""
+        return self._get_norm(n=n, sorted=sorted)
+
+    def variance(self, n=None, sorted=True):
+        """Return the variance of the first `n` singular vectors."""
+        return self._get_variance(n=n, sorted=sorted)
+
+    def scf(self, n=None):
+        """Squared covariance fraction (%) of the first `n` modes."""
+        variance = self._variance[self._var_idx][:n]
+        return (variance ** 2
+                / self._analysis['total_squared_covariance'] * 100)
+
+    def explained_variance(self, n=None):
+        """Covariance fraction (%) of the first `n` modes."""
+        variance = self._get_variance(n=n, sorted=True)
+        return variance / self._analysis['total_covariance'] * 100
+
+    def pcs(self, n=None, scaling='None', phase_shift=0, rotated=True):
+        """Return the first `n` PCs (scaling: None/eigen/max/std)."""
+        return self._get_pcs(n, scaling, phase_shift, rotated)
+
+    def eofs(self, n=None, scaling='None', phase_shift=0, rotated=True):
+        """Return the first `n` EOFs (scaling: None/eigen/max/std)."""
+        return self._get_eofs(n, scaling, phase_shift, rotated)
+
+    def spatial_amplitude(self, n=None, scaling='None', rotated=True):
+        """Spatial amplitude fields of the first `n` EOFs."""
+        eofs = self.eofs(n, scaling='None', rotated=rotated)
+        amplitudes = {}
+        for key, eof in eofs.items():
+            amp = np.sqrt(eof * eof.conjugate()).real
+            if scaling == 'max':
+                amp = amp / np.nanmax(amp, axis=(0, 1))
+            amplitudes[key] = amp
+        return amplitudes
+
+    def spatial_phase(self, n=None, phase_shift=0, rotated=True):
+        """Spatial phase fields of the first `n` EOFs."""
+        eofs = self.eofs(n, phase_shift=phase_shift, rotated=rotated)
+        return {
+            key: np.arctan2(eof.imag, eof.real).real
+            for key, eof in eofs.items()
+        }
+
+    def temporal_amplitude(self, n=None, scaling='None', rotated=True):
+        """Temporal amplitude series of the first `n` PCs."""
+        pcs = self.pcs(n, scaling='None', rotated=rotated)
+        amplitudes = {}
+        for key, pc in pcs.items():
+            amp = np.sqrt(pc * pc.conjugate()).real
+            if scaling == 'max':
+                amp = amp / np.nanmax(amp, axis=0)
+            amplitudes[key] = amp
+        return amplitudes
+
+    def temporal_phase(self, n=None, phase_shift=0, rotated=True):
+        """Temporal phase series of the first `n` PCs."""
+        pcs = self.pcs(n, phase_shift=phase_shift, rotated=rotated)
+        return {
+            key: np.arctan2(pc.imag, pc.real).real
+            for key, pc in pcs.items()
+        }
+
+    # --------------------------------------------- correlation pattern maps
+    def _pearsonr(self, x, y):
+        """Pearson correlation of columns of x vs columns of y + p-values.
+
+        Device-side matmul equivalent of the reference's
+        ``np.corrcoef``-based helper (xmca/tools/array.py:76-88); p-values
+        via the regularized incomplete beta function.
+        """
+        if x.shape[0] != y.shape[0]:
+            raise ValueError('Time dimensions are different.')
+        n = x.shape[0]
+        xc = x - x.mean(axis=0)
+        yc = y - y.mean(axis=0)
+        xn = np.linalg.norm(xc, axis=0)
+        yn = np.linalg.norm(yc, axis=0)
+        r = np.asarray(jnp.asarray(xc).T @ jnp.asarray(yc))
+        r = r / np.outer(xn, yn)
+        # two-sided p-value: 2 * BetaCDF(-|r|; a=b=n/2-1, loc=-1, scale=2)
+        from scipy.special import betainc
+        a = n / 2.0 - 1.0
+        p = 2 * betainc(a, a, np.clip((1.0 - np.abs(r)) / 2.0, 0, 1))
+        return r, p
+
+    def _scatter_to_grid(self, data):
+        """Re-insert NaN columns and reshape (n_vars, modes) maps to grid."""
+        out = {}
+        for k, arr in data.items():
+            n_modes = arr.shape[1]
+            full = np.zeros(
+                [self._n_variables[k], n_modes], dtype=arr.dtype
+            ) * np.nan
+            full[self._no_nan_index[k], :] = arr
+            out[k] = full.reshape(
+                self._fields_spatial_shape[k] + (n_modes,)
+            )
+        return out
+
+    def homogeneous_patterns(self, n=None, phase_shift=0):
+        """Correlation maps of each field with its own PCs (+ p-values)."""
+        pcs = self._get_pcs(n=n, phase_shift=phase_shift)
+        Xraw = self._get_X(real=True)
+        r, p = {}, {}
+        for key in self._keys:
+            r[key], p[key] = self._pearsonr(Xraw[key], pcs[key].real)
+        return self._scatter_to_grid(r), self._scatter_to_grid(p)
+
+    def heterogeneous_patterns(self, n=None, phase_shift=0):
+        """Correlation maps of each field with the *other* field's PCs."""
+        pcs = self._get_pcs(n=n, phase_shift=phase_shift)
+        Xraw = self._get_X(real=True)
+        reverse = dict(zip(self._keys, self._keys[::-1]))
+        r, p = {}, {}
+        for key in self._keys:
+            try:
+                r[key], p[key] = self._pearsonr(
+                    Xraw[key], pcs[reverse[key]].real
+                )
+            except KeyError:
+                raise KeyError(
+                    'Key not found. Two fields needed for heterogenous maps.'
+                )
+        return self._scatter_to_grid(r), self._scatter_to_grid(p)
+
+    # ------------------------------------------------------- reconstruction
+    def _reconstructed_X(self, mode=None, original_scale=True):
+        V = self._get_V(n=mode, rotated=True)
+        U = self._get_pcs(n=mode, scaling='eigen', rotated=True)
+        Xrec = {}
+        for loc in self._keys:
+            rec = np.asarray(
+                jnp.asarray(U[loc]) @ jnp.asarray(V[loc]).conj().T
+            )
+            Xrec[loc] = rec.real
+        if original_scale:
+            Xrec = self._scale_X_inverse(Xrec)
+        return Xrec
+
+    def _reconstructed_fields(self, mode=None, original_scale=True):
+        Xrec = self._reconstructed_X(mode=mode, original_scale=original_scale)
+        n_obs = self._n_observations['left']
+        for k in list(Xrec.keys()):
+            rec = np.zeros((n_obs, self._n_variables[k])) * np.nan
+            rec[:, self._no_nan_index[k]] = Xrec[k]
+            Xrec[k] = rec.reshape((-1,) + self._fields_spatial_shape[k])
+        return Xrec
+
+    def reconstructed_fields(self, mode=None, original_scale=True):
+        """Reconstruct input fields from a subset of modes."""
+        return self._reconstructed_fields(
+            mode=mode, original_scale=original_scale
+        )
+
+    # ----------------------------------------------------------- prediction
+    def predict(self, left=None, right=None, n=None, scaling='None',
+                phase_shift=0):
+        """Project new data onto the singular vectors to predict their PCs.
+
+        Parity with reference xmca/array.py:1299-1428 (including rotation
+        and variance reordering of the projected PCs).
+        """
+        keys = self._keys
+        data = [left, right]
+        data_new = {
+            k: d.copy() for k, d in zip(keys, data) if d is not None
+        }
+
+        shape = self._shape
+        n_vars = self._n_variables
+        no_nan_idx = self._no_nan_index
+        fields_mean = self._field_means
+
+        V = self._get_V(rotated=False)
+        sqrt_svals = np.sqrt(self._get_svals())
+        R = self.rotation_matrix(inverse_transpose=True)
+        n_rot = R.shape[0]
+        var_idx = self._var_idx
+        if n is None:
+            n = R.shape[0]
+
+        pcs_new = {}
+        for k, x_new in data_new.items():
+            try:
+                x_new = x_new.reshape(x_new.shape[0], n_vars[k])
+                x_new = x_new[:, no_nan_idx[k]]
+            except ValueError as err:
+                if len(x_new.shape) != len(shape[k]):
+                    msg = (
+                        'Error in {:} field. Dimension of new data ({:}) '
+                        'and the original field ({:}) do not match. '
+                        'Did you forget the time dimension?'
+                    ).format(k, len(x_new.shape), len(shape[k]))
+                elif x_new.shape[1:] != fields_mean[k].shape:
+                    msg = (
+                        'Error in {:} field. Spatial dimensions of new '
+                        'data {:} and the original field {:} do not match.'
+                    ).format(k, x_new.shape[1:], shape[k][1:])
+                else:
+                    msg = 'Dimension mismatch in {:} field.'.format(k)
+                raise ValueError(msg) from err
+            try:
+                x_new = self._scale_X({k: x_new})[k]
+            except ValueError as err:
+                raise ValueError(
+                    'Error in {:} field. Spatial dimensions of new data '
+                    '{:} and the original field {:} do not match.'
+                    .format(k, x_new.shape[1:], fields_mean[k].shape)
+                ) from err
+
+            pcs = np.asarray(
+                jnp.asarray(x_new) @ jnp.asarray(V[k][:, :n_rot])
+            ) / sqrt_svals[:n_rot]
+            pcs = pcs @ R
+            pcs = pcs[:, var_idx]
+            pcs = pcs[:, :n]
+
+            if self._analysis['is_complex']:
+                pcs = pcs * cmath.rect(1, phase_shift)
+            if scaling == 'None':
+                pass
+            elif scaling == 'eigen':
+                norm = self._get_norm(n, sorted=True)
+                pcs = pcs * norm[k]
+            elif scaling == 'max':
+                original_pcs = self._get_pcs(n, 'None', phase_shift)
+                pcs = pcs / np.nanmax(abs(original_pcs[k].real), axis=0)
+            elif scaling == 'std':
+                original_pcs = self._get_pcs(n, 'None', phase_shift)
+                pcs = pcs / np.nanstd(original_pcs[k].real, axis=0)
+            else:
+                raise ValueError(
+                    'The scaling option {:} is not valid. Please choose '
+                    'one of the following: None, eigen, std, max'
+                    .format(scaling)
+                )
+            pcs_new[k] = pcs
+        return pcs_new
+
+    # ----------------------------------------------------------- truncation
+    def truncate(self, n):
+        """Truncate the solution to the first `n` modes."""
+        n_rot = self._analysis['n_rot']
+        is_rotated = self._analysis['is_rotated']
+        if is_rotated & (n < n_rot):
+            raise ValueError(
+                'Cannot truncte rotated solution. Please ensure '
+                '`n` > `n_rot`'
+            )
+        if n < self._singular_values.size:
+            self._singular_values = self._singular_values[:n]
+            for key in self._keys:
+                self._V[key] = self._V[key][:, :n]
+            self._analysis['is_truncated'] = True
+            self._analysis['is_truncated_at'] = n
+
+    # --------------------------------------------------------- significance
+    def rule_n(self, n_runs, n_modes=None, seed=None):
+        """Apply *Rule N* (Overland & Preisendorfer 1982).
+
+        Surrogate spectra are computed as a vmapped, optionally
+        mesh-sharded device ensemble (xmca_tpu.stats.significance) instead
+        of the reference's host loop (xmca/array.py:1753-1765).
+
+        Returns an (n_modes, n_kept_runs) array like the reference.
+        """
+        m = self._n_observations
+        n = self._n_variables
+        dtype = np.dtype(
+            np.asarray(self._fields[self._keys[0]]).real.dtype
+        )
+
+        spectra = _sig.rule_n_spectra(
+            m['left'], tuple(n[k] for k in self._keys), n_runs,
+            complexify=self._analysis['is_complex'],
+            rotated=self._analysis['is_rotated'],
+            n_rot=self._analysis['n_rot'],
+            power=max(1, self._analysis['power']),
+            dtype=dtype, method=self._solver_method, seed=seed,
+            batch_size=self._ensemble_batch_size,
+            mesh=self._ensemble_mesh, ensemble_axis=self._ensemble_axis,
+        )
+        svals = spectra.T                        # (n_modes, n_runs)
+        ref = self._get_variance()
+        svals = svals / (svals.sum(axis=0) / ref.sum())
+        n_modes = self._get_slice(n_modes)
+        return svals[n_modes]
+
+    def rule_north(self, n=None):
+        """North's rule-of-thumb uncertainties of the singular values."""
+        return _sig.rule_north_uncertainty(
+            self._get_svals(n), self._n_observations['left'],
+            self._analysis['is_complex'],
+        )
+
+    def bootstrapping(self, n_runs, n_modes=20, axis=0, on_left=True,
+                      on_right=False, block_size=1, replace=True,
+                      strategy='standard', disable_progress=False,
+                      seed=None):
+        """Monte-Carlo (moving-block) bootstrapping of the model.
+
+        Parameters mirror the reference (xmca/array.py:1813-1952);
+        ``strategy='iterative'`` implements the Winkler residual scheme.
+        Each mode's run ensemble executes as one vmapped device batch.
+
+        Deviation: every run independently resamples the original data;
+        the reference resamples its own previous resample in place.
+        """
+        if strategy not in ('standard', 'iterative'):
+            raise ValueError(
+                "strategy must be 'standard' or 'iterative'"
+            )
+        complexify = self._analysis['is_complex']
+        extend = self._analysis['extend']
+        period = self._analysis['theta_period']
+        is_rotated = self._analysis['is_rotated']
+        n_rot = self._analysis['n_rot']
+        power = max(1, self._analysis['power'])
+
+        n_modes_max = self._get_min_mode(n_modes, rotated=True)
+        var_surr = np.zeros([n_modes_max, n_runs])
+
+        if seed is None:
+            seed = int(np.random.randint(0, 2 ** 31 - 1))
+
+        for mode in range(min(n_modes, n_modes_max)):
+            X_surr = self._get_X(original_scale=False, real=True)
+            if strategy == 'iterative':
+                X_rec = self._reconstructed_X(
+                    mode=mode, original_scale=False
+                )
+                for k in X_surr.keys():
+                    X_surr[k] = X_surr[k] - X_rec[k]
+
+            spectra, converged = _sig.bootstrap_spectra(
+                [X_surr[k] for k in self._keys], n_runs,
+                n_modes_max - mode,
+                axis=axis, on_left=on_left, on_right=on_right,
+                block_size=block_size, replace=replace,
+                complexify=complexify, extend=extend, period=period,
+                rotated=is_rotated, n_rot=n_rot, power=power,
+                method=self._solver_method, seed=seed + mode,
+                batch_size=self._ensemble_batch_size,
+                mesh=self._ensemble_mesh,
+                ensemble_axis=self._ensemble_axis,
+            )
+            # reference semantics: non-converged rotations leave this
+            # mode's rows untouched (skip), xmca/array.py:1939-1943
+            var_surr[mode:, converged] = spectra[converged].T
+
+            if strategy == 'standard':
+                break
+        return var_surr
+
+    # ----------------------------------------------------------- save/load
+    def _get_analysis_path(self, path=None):
+        if path is None:
+            name_folder = '_'.join(self._field_names.values())
+            name_folder = secure_str(name_folder)
+            path = os.path.join(os.getcwd(), 'xmca', name_folder)
+        elif not os.path.isabs(path):
+            path = os.path.abspath(path)
+        return path
+
+    def _create_analysis_path(self, path):
+        path = self._get_analysis_path(path)
+        if not os.path.exists(path):
+            os.makedirs(path)
+
+    def _create_info_file(self, path):
+        """Write the human-readable ``info.xmca`` manifest.
+
+        Format parity with reference xmca/array.py:1629-1659 so analyses
+        written by either library load in both.
+        """
+        sep_line = '\n#' + '-' * 79
+        now = datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+        file_header = (
+            'This file contains information neccessary to load stored '
+            'analysisdata from xmca module.'
+        )
+        path_output = os.path.join(path, 'info.xmca')
+        with open(path_output, 'w+') as file:
+            file.write(wrap_str(file_header))
+            file.write('\n# To load this analysis use:')
+            file.write('\n# from xmca.xarray import xMCA')
+            file.write('\n# mca = xMCA()')
+            file.write('\n# mca.load_analysis(PATH_TO_THIS_FILE)')
+            file.write('\n')
+            file.write(sep_line)
+            file.write(sep_line)
+            file.write('\n{:<20} : {:<57}'.format('created', now))
+            file.write(sep_line)
+            for key, name in self._field_names.items():
+                file.write('\n{:<20} : {:<57}'.format(key, str(name)))
+            file.write(sep_line)
+            for key, info in self._analysis.items():
+                if key in [
+                    'is_bivariate', 'is_complex', 'is_rotated',
+                    'is_truncated'
+                ]:
+                    file.write(sep_line)
+                file.write('\n{:<20} : {:<57}'.format(key, str(info)))
+
+    def _get_file_names(self, format):
+        fields = {}
+        eofs = {}
+        for key, variable in self._field_names.items():
+            variable = secure_str(variable)
+            fields[key] = '.'.join([variable, format])
+            eofs[key] = '.'.join(['_'.join([variable, 'eofs']), format])
+        return {
+            'fields': fields,
+            'eofs': eofs,
+            'pcs': {},
+            'singular': '.'.join(['singular_values', format]),
+            'norm': {},
+        }
+
+    def _save_data(self, data_array, path, *args, **kwargs):
+        raise NotImplementedError('only works for `xarray`')
+
+    def _set_analysis(self, key, value):
+        try:
+            key_type = type(self._analysis[key])
+        except KeyError:
+            raise KeyError("Key `{}` not found in info file.".format(key))
+        if key_type == bool:
+            self._analysis[key] = (value == 'True')
+        else:
+            self._analysis[key] = key_type(value)
+
+    def _set_info_from_file(self, path):
+        with open(path, 'r') as info_file:
+            for line in info_file.readlines():
+                if line[0] != '#':
+                    key = line.split(':')[0].rstrip()
+                    if key in ['left', 'right']:
+                        self._field_names[key] = (
+                            line.split(':')[1].strip()
+                        )
+                    if key in self._analysis.keys():
+                        self._set_analysis(key, line.split(':')[1].strip())
+
+    def load_analysis(self, path, fields=None, eofs=None,
+                      singular_values=None):
+        """Rebuild a model saved with ``save_analysis``.
+
+        Parity with reference xmca/array.py:1954-2012: normalization,
+        complexification and rotation are *recomputed* from the stored
+        fields/EOFs/singular values.
+        """
+        self._set_info_from_file(path)
+
+        if self._analysis['is_bivariate']:
+            self._keys = ['left', 'right']
+        else:
+            self._keys = ['left']
+
+        self._set_field_meta(fields)
+        fields = self._reshape_to_2d(fields)
+        self._set_no_nan_idx(fields)
+        fields = self._remove_nan_cols(fields)
+        self._set_field_means(fields)
+        self._set_field_stds(fields)
+
+        self._fields = self._center(fields)
+
+        if self._analysis['is_normalized']:
+            self.normalize()
+        if self._analysis['is_complex']:
+            self._fields = {
+                k: _pre.complexify(
+                    f, extend=self._analysis['extend'],
+                    period=self._analysis['theta_period'],
+                )
+                for k, f in self._fields.items()
+            }
+
+        self._V = {}
+        self._norm = {}
+        self._singular_values = singular_values
+        self._variance = singular_values
+        self._var_idx = np.argsort(singular_values)[::-1]
+
+        for key in self._keys:
+            self._norm[key] = np.sqrt(singular_values)
+            n_modes = eofs[key].shape[-1]
+            eofs_2d = eofs[key].reshape(self._n_variables[key], n_modes)
+            VT = remove_nan_cols(eofs_2d.T)
+            self._V[key] = VT.T
+
+        if self._analysis['is_rotated']:
+            self.rotate(self._analysis['n_rot'], self._analysis['power'])
+
+    # -------------------------------------------------------------- display
+    def summary(self):
+        """Print meta information of the performed analysis."""
+        import yaml
+        strings_only = {k: str(v) for k, v in self._analysis.items()}
+        print(yaml.dump(
+            strings_only, sort_keys=False, default_flow_style=False
+        ))
+
+    def plot(self, mode, threshold=0, phase_shift=0, cmap_eof=None,
+             cmap_phase=None, figsize=(8.3, 5.0)):
+        """Plot PCs/EOFs (and phase, if complex) for `mode`.
+
+        Host-side matplotlib, mirroring reference xmca/array.py:1430-1574.
+        """
+        from xmca_tpu.viz.plot import plot_mca_mode
+        return plot_mca_mode(
+            self, mode, threshold=threshold, phase_shift=phase_shift,
+            cmap_eof=cmap_eof, cmap_phase=cmap_phase, figsize=figsize,
+        )
+
+    def save_plot(self, mode, path=None, plot_kwargs={}, save_kwargs={}):
+        """Create and save a plot of `mode` to disk."""
+        import matplotlib.pyplot as plt
+        if path is None:
+            output = 'mode{:}.png'.format(mode)
+        else:
+            output = path
+        self.plot(mode=mode, **plot_kwargs)
+        fig = plt.gcf()
+        fig.subplots_adjust(left=0.06)
+        plt.savefig(output, **save_kwargs)

@@ -1,0 +1,253 @@
+"""Monte-Carlo significance testing as vmapped, mesh-shardable ensembles.
+
+The reference runs its Monte-Carlo loops one full solve at a time on host
+(``rule_n``: xmca/array.py:1753-1765, ``bootstrapping``:
+xmca/array.py:1891-1950) — N x (SVD + rotation) in Python.  Here each
+surrogate's *entire* pipeline (draw/resample -> center -> complexify ->
+Gram-solve -> varimax/promax) is a single jitted function of a PRNG key;
+ensembles are ``vmap``-ped over keys in memory-bounded batches and the batch
+axis can be sharded across a ``jax.sharding.Mesh`` so surrogates fan out
+over chips with zero cross-talk (one final host gather).
+
+Rotation non-convergence is returned as a mask; callers drop those runs,
+matching the reference's skip-on-RuntimeError semantics
+(xmca/array.py:1759-1763).
+"""
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from xmca_tpu.core.preprocess import complexify as _complexify
+from xmca_tpu.core.solver import solve_svals, solve_rotated_variance
+
+__all__ = ['rule_n_spectra', 'rule_north_uncertainty', 'bootstrap_spectra']
+
+
+def _auto_batch(n_runs, n_obs, n_vars_total, itemsize, target_bytes=2 << 30):
+    """Pick a surrogate batch size that keeps peak memory bounded."""
+    per_run = max(1, n_obs * n_vars_total * itemsize * 8)
+    return int(min(n_runs, max(1, target_bytes // per_run)))
+
+
+def _ensemble_map(one_run, keys, batch_size, mesh=None, axis='ensemble'):
+    """Run ``vmap(one_run)`` over ``keys`` in batches, optionally sharded.
+
+    With a mesh, each batch's key array is placed with its leading axis
+    sharded over ``axis`` — XLA runs the independent surrogates fully
+    parallel across devices (DCN/ICI traffic: only the final gather).
+    """
+    n_runs = keys.shape[0]
+    fn = jax.jit(jax.vmap(one_run))
+    outs = []
+    n_dev = 1
+    if mesh is not None:
+        n_dev = mesh.shape[axis]
+        sharding = NamedSharding(mesh, P(axis))
+    for start in range(0, n_runs, batch_size):
+        kb = keys[start:start + batch_size]
+        pad = (-kb.shape[0]) % n_dev
+        if pad:
+            kb = jnp.concatenate([kb, kb[:pad]], axis=0)
+        if mesh is not None:
+            kb = jax.device_put(kb, sharding)
+        res = fn(kb)
+        res = jax.tree_util.tree_map(np.asarray, res)
+        if pad:
+            res = jax.tree_util.tree_map(lambda r: r[:r.shape[0] - pad], res)
+        outs.append(res)
+    return jax.tree_util.tree_map(
+        lambda *rs: np.concatenate(rs, axis=0), *outs
+    )
+
+
+def _surrogate_variance(fields, complexify, rotated, n_rot, power, tol,
+                        method):
+    """Variance spectrum of one surrogate solve (+rotation)."""
+    fields = [f - jnp.mean(f, axis=0) for f in fields]
+    if complexify:
+        fields = [_complexify(f) for f in fields]
+    bivariate = len(fields) == 2
+    Xl = fields[0]
+    Xr = fields[1] if bivariate else None
+    if rotated:
+        return solve_rotated_variance(
+            Xl, Xr, n_rot=n_rot, power=power, tol=tol, method=method,
+            bivariate=bivariate,
+        )
+    svals = solve_svals(Xl, Xr, method=method)
+    return svals, jnp.asarray(True)
+
+
+def rule_n_spectra(n_obs, n_vars, n_runs, *, complexify=False, rotated=False,
+                   n_rot=0, power=1, tol=1e-8, dtype=np.float64,
+                   method='gram', seed=None, batch_size=None, mesh=None,
+                   ensemble_axis='ensemble'):
+    """Rule-N surrogate variance spectra (Overland & Preisendorfer 1982).
+
+    TPU-native replacement for the reference's host loop
+    (xmca/array.py:1753-1765): Gaussian surrogates with the *original*
+    (unpacked) variable counts are drawn on device from per-run PRNG keys,
+    solved (and rotated) in vmapped batches.
+
+    Returns
+    -------
+    spectra : (n_kept_runs, n_modes) float array — one variance spectrum per
+        run, with non-converged rotations dropped (reference ``continue``).
+    """
+    if seed is None:
+        seed = int(np.random.randint(0, 2 ** 31 - 1))
+    n_vars = tuple(int(p) for p in n_vars)
+    dtype = np.dtype(dtype)
+    if batch_size is None:
+        batch_size = _auto_batch(
+            n_runs, n_obs, sum(n_vars), dtype.itemsize * (2 if complexify
+                                                          else 1)
+        )
+
+    def one_run(key):
+        ks = jax.random.split(key, len(n_vars))
+        fields = [
+            jax.random.normal(ks[i], (n_obs, p), dtype=dtype)
+            for i, p in enumerate(n_vars)
+        ]
+        return _surrogate_variance(
+            fields, complexify, rotated, n_rot, power, tol, method
+        )
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_runs)
+    spectra, converged = _ensemble_map(
+        one_run, keys, batch_size, mesh=mesh, axis=ensemble_axis
+    )
+    return spectra[np.asarray(converged)]
+
+
+def rule_north_uncertainty(singular_values, n_obs, is_complex=False):
+    """North's rule-of-thumb uncertainties (reference xmca/array.py:1800-1811).
+
+    ``err = s * sqrt(2 / n_obs)``, doubled variance (x sqrt(2)) for complex
+    solutions per Horel 1984.
+    """
+    err = np.asarray(singular_values) * np.sqrt(2.0 / n_obs)
+    if is_complex:
+        err = err * np.sqrt(2)
+    return err
+
+
+def _block_indices(key, n_total, block_size, replace):
+    """Device-side moving-block bootstrap row indices."""
+    n_blocks = n_total // block_size
+    if replace:
+        blocks = jax.random.randint(key, (n_blocks,), 0, n_blocks)
+    else:
+        blocks = jax.random.permutation(key, n_blocks)
+    return (blocks[:, None] * block_size
+            + jnp.arange(block_size)[None, :]).reshape(-1)
+
+
+def bootstrap_spectra(fields, n_runs, n_out_modes, *, axis=0, on_left=True,
+                      on_right=False, block_size=1, replace=True,
+                      complexify=False, extend=False, period=1,
+                      rotated=False, n_rot=0, power=1, tol=1e-8,
+                      method='gram', seed=None, batch_size=None, mesh=None,
+                      ensemble_axis='ensemble'):
+    """One round of (moving-block) bootstrap surrogate spectra.
+
+    Vectorized equivalent of the reference's inner run loop
+    (xmca/array.py:1902-1947): resample -> re-center -> solve(+rotate) ->
+    variance, vmapped over runs.
+
+    Deviations from the reference (deliberate, documented):
+    * each run resamples the *original* input — the reference resamples its
+      own previous resample in place (xmca/array.py:1905-1928), making runs
+      statistically dependent; independent draws implement the documented
+      intent.
+
+    Returns (spectra (n_runs, n_out_modes), converged (n_runs,) bool); rows
+    of non-converged runs contain unrotated garbage and must be masked by
+    the caller (the reference skips them).
+    """
+    if axis not in (0, 1):
+        raise ValueError('{:} not a valid axis. either 0 or 1.'.format(axis))
+    if seed is None:
+        seed = int(np.random.randint(0, 2 ** 31 - 1))
+
+    fields = [jnp.asarray(f) for f in fields]
+    bivariate = len(fields) == 2
+    if on_right and not bivariate:
+        raise ValueError(
+            'No bootstrapping possible. There is no right field. '
+            'Set `on_right=False`.'
+        )
+
+    # divisibility check of the resampled axis (reference raises from the
+    # reshape in tools/array.py:126-130)
+    def _check(length):
+        if length % block_size != 0:
+            raise ValueError(
+                'Length of data array ({:}) must be a multiple of block '
+                'size {:}'.format(length, block_size)
+            )
+
+    if on_left or on_right:
+        if axis == 0:
+            _check(fields[0].shape[0])
+        elif on_left and on_right:
+            _check(sum(f.shape[1] for f in fields))
+        else:
+            _check(fields[0].shape[1] if on_left else fields[1].shape[1])
+
+    n_obs = int(fields[0].shape[0])
+    dtype = np.dtype(fields[0].dtype)
+    if batch_size is None:
+        batch_size = _auto_batch(
+            n_runs, n_obs, sum(int(f.shape[1]) for f in fields),
+            dtype.itemsize * (2 if complexify else 1)
+        )
+
+    def resample(key, fs):
+        if not (on_left or on_right):
+            return fs
+        if axis == 0:
+            idx_l = _block_indices(key, n_obs, block_size, replace)
+            if on_left and on_right:
+                # same draw applied jointly (reference concatenates columns
+                # and resamples rows of the combined matrix)
+                return [f[idx_l] for f in fs]
+            if on_left:
+                return [fs[0][idx_l]] + fs[1:]
+            return [fs[0], fs[1][idx_l]]
+        # axis == 1: resample space columns
+        if on_left and on_right:
+            concat = jnp.concatenate(fs, axis=1)
+            idx = _block_indices(key, concat.shape[1], block_size, replace)
+            mixed = concat[:, idx]
+            w = fs[0].shape[1]
+            return [mixed[:, :w], mixed[:, w:]]
+        if on_left:
+            idx = _block_indices(key, fs[0].shape[1], block_size, replace)
+            return [fs[0][:, idx]] + fs[1:]
+        idx = _block_indices(key, fs[1].shape[1], block_size, replace)
+        return [fs[0], fs[1][:, idx]]
+
+    def one_run(key):
+        fs = resample(key, list(fields))
+        if complexify and extend:
+            fs = [f - jnp.mean(f, axis=0) for f in fs]
+            fs = [_complexify(f, extend=extend, period=period) for f in fs]
+            var, conv = _surrogate_variance(
+                fs, False, rotated, n_rot, power, tol, method
+            )
+        else:
+            var, conv = _surrogate_variance(
+                fs, complexify, rotated, n_rot, power, tol, method
+            )
+        return var[:n_out_modes], conv
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_runs)
+    spectra, converged = _ensemble_map(
+        one_run, keys, batch_size, mesh=mesh, axis=ensemble_axis
+    )
+    return spectra, np.asarray(converged)
