@@ -1,0 +1,80 @@
+"""Compat layer: netCDF round trip and labeled-array semantics."""
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from xmca_tpu.compat.xarray_lite import DataArray
+from xmca_tpu.compat import netcdf
+
+
+@pytest.fixture()
+def da():
+    rng = np.random.default_rng(0)
+    return DataArray(
+        rng.standard_normal((4, 3, 5)),
+        dims=('time', 'lat', 'lon'),
+        coords={
+            'time': np.arange(4),
+            'lat': np.array([10., 20., 30.]),
+            'lon': np.linspace(0, 40, 5),
+        },
+        name='field', attrs={'units': 'K'},
+    )
+
+
+def test_dim_broadcast_mul(da):
+    w = DataArray(np.array([1., 2., 3.]), dims=('lat',))
+    out = da * w
+    assert out.dims == ('time', 'lat', 'lon')
+    assert_allclose(out.values, da.values * np.array([1, 2, 3])[:, None])
+
+
+def test_ufunc_preserves_dims(da):
+    lat = da.coords['lat']
+    w = np.sqrt(np.cos(np.deg2rad(lat)) + 1e-6)
+    assert isinstance(w, DataArray)
+    assert w.dims == ('lat',)
+
+
+def test_isel_sel(da):
+    sub = da.isel(time=slice(0, 2))
+    assert sub.shape == (2, 3, 5)
+    one = da.sel(lat=20.0)
+    assert one.dims == ('time', 'lon')
+    rng_sel = da.sel(lat=slice(10, 20))
+    assert rng_sel.shape == (4, 2, 5)
+
+
+def test_getitem(da):
+    sub = da[..., :2]
+    assert sub.shape == (4, 3, 2)
+    assert_allclose(sub.coords['lon'].values, da.coords['lon'].values[:2])
+
+
+def test_netcdf_roundtrip(tmp_path, da):
+    path = str(tmp_path / 'x.nc')
+    da.to_netcdf(path)
+    raw = netcdf.read_dataarray(path)
+    assert raw['name'] == 'field'
+    assert raw['dims'] == ('time', 'lat', 'lon')
+    assert_allclose(raw['values'], da.values)
+    assert_allclose(raw['coords']['lat'][0], da.coords['lat'].values)
+    assert raw['attrs']['units'] == 'K'
+
+
+def test_netcdf_complex_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    vals = rng.standard_normal((3, 4)) + 1j * rng.standard_normal((3, 4))
+    da = DataArray(vals, dims=('a', 'b'), coords={'a': [1, 2, 3]},
+                   name='cplx')
+    path = str(tmp_path / 'c.nc')
+    da.to_netcdf(path)
+    raw = netcdf.read_dataarray(path)
+    assert_allclose(raw['values'], vals)
+
+
+def test_read_reference_fixture(fixtures_path):
+    import os
+    raw = netcdf.read_dataarray(os.path.join(fixtures_path, 'sst.nc'))
+    assert raw['dims'] == ('time', 'lat', 'lon')
+    assert raw['values'].shape == (492, 9, 18)
