@@ -84,11 +84,12 @@ def test_mesh_2d_ensemble_and_space(xy):
     inner solve is itself space-sharded compile and execute."""
     from xmca_tpu.stats.significance import rule_n_spectra
     mesh = make_mesh(ensemble=2, space=4)
-    spectra = rule_n_spectra(
+    spectra, totals = rule_n_spectra(
         64, (32, 24), 4, dtype=np.float64, mesh=mesh, seed=0,
         batch_size=4,
     )
     assert spectra.shape[0] == 4
+    assert totals.shape == (4,)
     assert np.isfinite(spectra).all()
 
 

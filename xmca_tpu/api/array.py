@@ -134,6 +134,8 @@ class MCA:
         self._ensemble_batch_size = None
         self._ensemble_mesh = None
         self._ensemble_axis = 'ensemble'
+        self._ensemble_spectrum = 'exact'
+        self._subspace_iters = 12
 
     # ------------------------------------------------------------ ingestion
     def _set_field_meta(self, data):
@@ -176,7 +178,8 @@ class MCA:
 
     # --------------------------------------------------------------- config
     def set_solver(self, method=None, batch_size=None, mesh=None,
-                   ensemble_axis='ensemble'):
+                   ensemble_axis='ensemble', spectrum=None,
+                   subspace_iters=None):
         """Configure the TPU solver (extension over the reference API).
 
         Parameters
@@ -191,6 +194,14 @@ class MCA:
         mesh : jax.sharding.Mesh, optional
             Device mesh; Monte-Carlo ensembles shard their run axis over
             ``ensemble_axis``.
+        spectrum : {'exact', 'fast'}, optional
+            Monte-Carlo surrogate spectrum algorithm.  'exact' (default)
+            uses dense factorizations; 'fast' uses the matmul-only
+            Cholesky-reduced kernel + subspace iteration + Newton-Schulz
+            nuclear norm (xmca_tpu.core.fastpath) — the TPU ensemble path,
+            accurate to ~1e-4 relative on the leading modes.
+        subspace_iters : int, optional
+            Power-iteration count of the 'fast' spectrum path (default 12).
         """
         if method is not None:
             if method not in ('gram', 'svd'):
@@ -201,6 +212,12 @@ class MCA:
         if mesh is not None:
             self._ensemble_mesh = mesh
         self._ensemble_axis = ensemble_axis
+        if spectrum is not None:
+            if spectrum not in ('exact', 'fast'):
+                raise ValueError("spectrum must be 'exact' or 'fast'")
+            self._ensemble_spectrum = spectrum
+        if subspace_iters is not None:
+            self._subspace_iters = subspace_iters
 
     def set_field_names(self, left='left', right='right'):
         """Set names of the left/right field, used in plots and save files."""
@@ -856,7 +873,13 @@ class MCA:
             np.asarray(self._fields[self._keys[0]]).real.dtype
         )
 
-        spectra = _sig.rule_n_spectra(
+        n_modes_fast = None
+        if self._ensemble_spectrum == 'fast':
+            slc = self._get_slice(n_modes)
+            n_modes_fast = min(
+                slc.stop, min(m.values()), min(n.values())
+            )
+        spectra, totals = _sig.rule_n_spectra(
             m['left'], tuple(n[k] for k in self._keys), n_runs,
             complexify=self._analysis['is_complex'],
             rotated=self._analysis['is_rotated'],
@@ -865,10 +888,12 @@ class MCA:
             dtype=dtype, method=self._solver_method, seed=seed,
             batch_size=self._ensemble_batch_size,
             mesh=self._ensemble_mesh, ensemble_axis=self._ensemble_axis,
+            spectrum=self._ensemble_spectrum, n_modes_fast=n_modes_fast,
+            subspace_iters=self._subspace_iters,
         )
         svals = spectra.T                        # (n_modes, n_runs)
         ref = self._get_variance()
-        svals = svals / (svals.sum(axis=0) / ref.sum())
+        svals = svals / (totals[None, :] / ref.sum())
         n_modes = self._get_slice(n_modes)
         return svals[n_modes]
 
@@ -929,6 +954,8 @@ class MCA:
                 batch_size=self._ensemble_batch_size,
                 mesh=self._ensemble_mesh,
                 ensemble_axis=self._ensemble_axis,
+                spectrum=self._ensemble_spectrum,
+                subspace_iters=self._subspace_iters,
             )
             # reference semantics: non-converged rotations leave this
             # mode's rows untouched (skip), xmca/array.py:1939-1943

@@ -1,0 +1,178 @@
+"""Matmul-only fast path for solves and Monte-Carlo ensembles on TPU.
+
+Motivation: XLA's dense ``eigh``/``svd`` at n ~ 2000 cost O(seconds) on a
+TPU core (iterative QDWH-based algorithms), which would dominate surrogate
+ensembles.  This module reformulates the MCA spectrum so that everything is
+MXU matmuls, Cholesky factorizations and tiny (k x k) factorizations:
+
+**Key identity** (derivation + numerical check in tests/unit/test_fastpath):
+for centered fields ``A (n, p_l)``, ``B (n, p_r)`` with ``n <= p``, the
+singular values of the cross-covariance ``A^H B`` equal the singular values
+of ``La^H Lb`` where ``La = chol(A A^H)``, ``Lb = chol(B B^H)`` are
+Cholesky factors of the *temporal* Gram matrices.  Proof sketch: write the
+thin QR ``A^H = Q_a R_a``; then ``A^H B = Q_a (R_a R_b^H) Q_b^H`` and
+``R_a^H R_a = A A^H``, so any factor with that Gram (e.g. ``La^H``) differs
+from ``R_a`` by a left-unitary and leaves singular values unchanged.
+
+On top of the n x n reduced kernel ``M = La^H Lb / dof``:
+
+* ``subspace_svd`` extracts the leading k singular triplets by blocked
+  subspace (power) iteration — matmuls + thin QR + one k x k eigh;
+* ``nuclear_norm`` computes ``sum(svals)`` via the Newton-Schulz polar
+  iteration (pure matmuls) for the Rule-N rescaling of full spectra;
+* spatial singular vectors are recovered as ``V_l = A^H (La^-H U)``
+  (triangular solve + one tall matmul), which is what rotation needs.
+
+Since centered data has a rank-deficient temporal Gram (the mean direction
+is null), a relative jitter ``~1e-6 * mean(diag)`` keeps Cholesky positive
+definite; the induced spectral error is of the same relative order — far
+below Monte-Carlo sampling noise, and the exact path remains the default
+for direct solves.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def temporal_gram(X, jitter_rel=1e-6):
+    """Jittered temporal Gram ``X X^H + eps I`` (one MXU matmul)."""
+    G = X @ X.conj().T
+    d = jnp.mean(jnp.real(jnp.diagonal(G)))
+    n = G.shape[0]
+    return G + (jitter_rel * d) * jnp.eye(n, dtype=G.dtype)
+
+
+def reduced_kernel(Xl, Xr, jitter_rel=1e-6):
+    """n x n matrix with the same singular values as ``X_l^H X_r / dof``.
+
+    Returns (M, La, Lb) — the chol factors are reused for recovering
+    spatial vectors.
+    """
+    dof = Xl.shape[0] - 1
+    La = jnp.linalg.cholesky(temporal_gram(Xl, jitter_rel))
+    Lb = jnp.linalg.cholesky(temporal_gram(Xr, jitter_rel))
+    M = La.conj().T @ Lb / dof
+    return M, La, Lb
+
+
+@partial(jax.jit, static_argnames=('k', 'n_iter', 'oversample'))
+def subspace_svd(M, key, k, n_iter=8, oversample=16):
+    """Leading-k singular triplets of square ``M`` by subspace iteration.
+
+    All heavy ops are matmuls; the only factorizations are thin QR
+    (n x (k+oversample)) and one small eigh.  Oversampling absorbs the
+    slowly-converging directions of clustered spectra so the returned k
+    triplets stay accurate.  Returns (U (n,k), s (k,), V (m,k)).
+    """
+    n, m = M.shape
+    kk = min(k + oversample, n, m)
+    real_dtype = jnp.real(jnp.zeros((), M.dtype)).dtype
+    omega = jax.random.normal(key, (m, kk), dtype=real_dtype).astype(M.dtype)
+    Q, _ = jnp.linalg.qr(M @ omega)
+    for _ in range(n_iter):
+        Q, _ = jnp.linalg.qr(M @ (M.conj().T @ Q))
+    B = Q.conj().T @ M                       # (kk, m)
+    # small eigendecomposition of B B^H gives the Ritz values/vectors
+    w, W = jnp.linalg.eigh(B @ B.conj().T)
+    w = jnp.flip(w, -1)
+    W = jnp.flip(W, -1)
+    s = jnp.sqrt(jnp.clip(w, 0.0))
+    U = Q @ W
+    V = M.conj().T @ (U / jnp.where(s > 0, s, 1.0)[None, :].astype(M.dtype))
+    return U[:, :k], s[:k], V[:, :k]
+
+
+@partial(jax.jit, static_argnames=('n_iter',))
+def nuclear_norm(M, n_iter=50):
+    """``sum(svals(M))`` via the Newton-Schulz polar iteration.
+
+    ``W <- 1.5 W - 0.5 W W^H W`` drives all singular values of the scaled
+    iterate to 1; the nuclear norm is then ``Re tr(W^H M)``.  Pure matmuls
+    — no factorization at all.  Relative accuracy ~1e-5 after ~50
+    iterations (tiny singular values converge last but contribute least).
+    """
+    fro = jnp.linalg.norm(M)
+    W = M / fro
+    for _ in range(n_iter):
+        W = 1.5 * W - 0.5 * (W @ (W.conj().T @ W))
+    return jnp.real(jnp.trace(W.conj().T @ M))
+
+
+@partial(jax.jit, static_argnames=('k', 'n_iter', 'with_nuclear'))
+def fast_spectrum(Xl, Xr, key, k, n_iter=8, with_nuclear=True,
+                  jitter_rel=1e-6):
+    """Top-k singular values of the MCA kernel + (optional) exact-sum.
+
+    The Rule-N fast path: spectra are computed to subspace-iteration
+    accuracy while the *rescaling total* (sum over the full spectrum) comes
+    from the Newton-Schulz nuclear norm — so the normalization matches the
+    exact algorithm to ~1e-5 even though only k values are materialized.
+    """
+    M, _, _ = reduced_kernel(Xl, Xr, jitter_rel)
+    _, s, _ = subspace_svd(M, key, k=k, n_iter=n_iter)
+    if with_nuclear:
+        total = nuclear_norm(M)
+        return s, total
+    return s, jnp.sum(s)
+
+
+@partial(jax.jit,
+         static_argnames=('n_rot', 'power', 'n_iter', 'bivariate'))
+def fast_rotated_variance(Xl, Xr, key, n_rot, power=1, tol=1e-8,
+                          n_iter=8, jitter_rel=1e-6, bivariate=True):
+    """Rotated variance spectrum via the matmul-only pipeline.
+
+    Mirrors :func:`xmca_tpu.core.solver.solve_rotated_variance` but with
+    the chol-reduced kernel and subspace iteration: no large eigh/svd at
+    all.  Spatial loadings are recovered with triangular solves:
+    ``V_l = X_l^H (La^-H U)``.
+    """
+    from xmca_tpu.core.rotation import promax
+
+    if Xr is None:
+        Xr = Xl
+    M, La, Lb = reduced_kernel(Xl, Xr, jitter_rel)
+    U, s, V = subspace_svd(M, key, k=n_rot, n_iter=n_iter)
+    # spatial singular vectors (orthonormal up to jitter)
+    Zl = jax.scipy.linalg.solve_triangular(
+        La.conj().T, U, lower=False
+    )
+    Vl = Xl.conj().T @ Zl                     # (p_l, n_rot)
+    sqrt_s = jnp.sqrt(s).astype(Vl.dtype)
+    if bivariate:
+        Zr = jax.scipy.linalg.solve_triangular(
+            Lb.conj().T, V, lower=False
+        )
+        Vr = Xr.conj().T @ Zr
+        L = jnp.concatenate([Vl, Vr], axis=0) * sqrt_s[None, :]
+    else:
+        L = Vl * sqrt_s[None, :]
+    n_vars_left = Vl.shape[0]
+    L_rot, R, phi, converged, _ = promax(L, power=power, tol=tol)
+    norm_left = jnp.linalg.norm(L_rot[:n_vars_left, :], axis=0)
+    if bivariate:
+        norm_right = jnp.linalg.norm(L_rot[n_vars_left:, :], axis=0)
+        variance = norm_left * norm_right
+    else:
+        variance = norm_left ** 2
+    variance = jnp.sort(variance)[::-1]
+    return variance, converged
+
+
+@partial(jax.jit, static_argnames=('n_modes', 'n_iter'))
+def fast_solve_truncated(Xl, Xr, key, n_modes, n_iter=8, jitter_rel=1e-6):
+    """Leading-n_modes MCA solve (svals + spatial vectors), matmul-only.
+
+    The bench-path equivalent of
+    :func:`xmca_tpu.core.solver.solve_truncated` for very large fields on
+    TPU.
+    """
+    M, La, Lb = reduced_kernel(Xl, Xr, jitter_rel)
+    dof = Xl.shape[0] - 1
+    U, s, V = subspace_svd(M, key, k=n_modes, n_iter=n_iter)
+    Zl = jax.scipy.linalg.solve_triangular(La.conj().T, U, lower=False)
+    Zr = jax.scipy.linalg.solve_triangular(Lb.conj().T, V, lower=False)
+    V_left = Xl.conj().T @ Zl
+    V_right = Xr.conj().T @ Zr
+    return s, V_left, V_right

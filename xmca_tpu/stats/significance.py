@@ -22,6 +22,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from xmca_tpu.core.preprocess import complexify as _complexify
 from xmca_tpu.core.solver import solve_svals, solve_rotated_variance
+from xmca_tpu.core import fastpath as _fast
 
 __all__ = ['rule_n_spectra', 'rule_north_uncertainty', 'bootstrap_spectra']
 
@@ -64,8 +65,17 @@ def _ensemble_map(one_run, keys, batch_size, mesh=None, axis='ensemble'):
 
 
 def _surrogate_variance(fields, complexify, rotated, n_rot, power, tol,
-                        method):
-    """Variance spectrum of one surrogate solve (+rotation)."""
+                        method, spectrum='exact', n_modes_fast=None,
+                        subspace_iters=12, fast_key=None):
+    """Variance spectrum + total + converged-flag of one surrogate solve.
+
+    ``spectrum='exact'`` runs the dense eigh-based pipeline;
+    ``spectrum='fast'`` runs the matmul-only chol/subspace pipeline
+    (xmca_tpu.core.fastpath) — the TPU ensemble path.  The returned total
+    is the full-spectrum sum used for Rule-N rescaling (via the
+    Newton-Schulz nuclear norm in fast mode, so rescaling stays exact even
+    though only the leading modes are materialized).
+    """
     fields = [f - jnp.mean(f, axis=0) for f in fields]
     if complexify:
         fields = [_complexify(f) for f in fields]
@@ -73,18 +83,34 @@ def _surrogate_variance(fields, complexify, rotated, n_rot, power, tol,
     Xl = fields[0]
     Xr = fields[1] if bivariate else None
     if rotated:
-        return solve_rotated_variance(
-            Xl, Xr, n_rot=n_rot, power=power, tol=tol, method=method,
-            bivariate=bivariate,
+        if spectrum == 'fast':
+            var, conv = _fast.fast_rotated_variance(
+                Xl, Xr if bivariate else None, fast_key, n_rot=n_rot,
+                power=power, tol=tol, n_iter=subspace_iters,
+                bivariate=bivariate,
+            )
+        else:
+            var, conv = solve_rotated_variance(
+                Xl, Xr, n_rot=n_rot, power=power, tol=tol, method=method,
+                bivariate=bivariate,
+            )
+        # rotated Rule-N rescales by the sum over the n_rot rotated modes
+        return var, jnp.sum(var), conv
+    if spectrum == 'fast':
+        svals, total = _fast.fast_spectrum(
+            Xl, Xr if bivariate else Xl, fast_key, k=n_modes_fast,
+            n_iter=subspace_iters,
         )
+        return svals, total, jnp.asarray(True)
     svals = solve_svals(Xl, Xr, method=method)
-    return svals, jnp.asarray(True)
+    return svals, jnp.sum(svals), jnp.asarray(True)
 
 
 def rule_n_spectra(n_obs, n_vars, n_runs, *, complexify=False, rotated=False,
                    n_rot=0, power=1, tol=1e-8, dtype=np.float64,
                    method='gram', seed=None, batch_size=None, mesh=None,
-                   ensemble_axis='ensemble'):
+                   ensemble_axis='ensemble', spectrum='exact',
+                   n_modes_fast=None, subspace_iters=12):
     """Rule-N surrogate variance spectra (Overland & Preisendorfer 1982).
 
     TPU-native replacement for the reference's host loop
@@ -94,8 +120,10 @@ def rule_n_spectra(n_obs, n_vars, n_runs, *, complexify=False, rotated=False,
 
     Returns
     -------
-    spectra : (n_kept_runs, n_modes) float array — one variance spectrum per
-        run, with non-converged rotations dropped (reference ``continue``).
+    (spectra, totals) : spectra (n_kept_runs, n_modes) — one variance
+        spectrum per run, non-converged rotations dropped (reference
+        ``continue``); totals (n_kept_runs,) — per-run full-spectrum sums
+        for the Rule-N rescaling.
     """
     if seed is None:
         seed = int(np.random.randint(0, 2 ** 31 - 1))
@@ -108,20 +136,23 @@ def rule_n_spectra(n_obs, n_vars, n_runs, *, complexify=False, rotated=False,
         )
 
     def one_run(key):
-        ks = jax.random.split(key, len(n_vars))
+        ks = jax.random.split(key, len(n_vars) + 1)
         fields = [
             jax.random.normal(ks[i], (n_obs, p), dtype=dtype)
             for i, p in enumerate(n_vars)
         ]
         return _surrogate_variance(
-            fields, complexify, rotated, n_rot, power, tol, method
+            fields, complexify, rotated, n_rot, power, tol, method,
+            spectrum=spectrum, n_modes_fast=n_modes_fast,
+            subspace_iters=subspace_iters, fast_key=ks[-1],
         )
 
     keys = jax.random.split(jax.random.PRNGKey(seed), n_runs)
-    spectra, converged = _ensemble_map(
+    spectra, totals, converged = _ensemble_map(
         one_run, keys, batch_size, mesh=mesh, axis=ensemble_axis
     )
-    return spectra[np.asarray(converged)]
+    keep = np.asarray(converged)
+    return spectra[keep], totals[keep]
 
 
 def rule_north_uncertainty(singular_values, n_obs, is_complex=False):
@@ -152,7 +183,8 @@ def bootstrap_spectra(fields, n_runs, n_out_modes, *, axis=0, on_left=True,
                       complexify=False, extend=False, period=1,
                       rotated=False, n_rot=0, power=1, tol=1e-8,
                       method='gram', seed=None, batch_size=None, mesh=None,
-                      ensemble_axis='ensemble'):
+                      ensemble_axis='ensemble', spectrum='exact',
+                      subspace_iters=12):
     """One round of (moving-block) bootstrap surrogate spectra.
 
     Vectorized equivalent of the reference's inner run loop
@@ -233,16 +265,21 @@ def bootstrap_spectra(fields, n_runs, n_out_modes, *, axis=0, on_left=True,
         return [fs[0], fs[1][:, idx]]
 
     def one_run(key):
+        key, fast_key = jax.random.split(key)
         fs = resample(key, list(fields))
+        kwargs = dict(
+            spectrum=spectrum, n_modes_fast=n_out_modes,
+            subspace_iters=subspace_iters, fast_key=fast_key,
+        )
         if complexify and extend:
             fs = [f - jnp.mean(f, axis=0) for f in fs]
             fs = [_complexify(f, extend=extend, period=period) for f in fs]
-            var, conv = _surrogate_variance(
-                fs, False, rotated, n_rot, power, tol, method
+            var, _, conv = _surrogate_variance(
+                fs, False, rotated, n_rot, power, tol, method, **kwargs
             )
         else:
-            var, conv = _surrogate_variance(
-                fs, complexify, rotated, n_rot, power, tol, method
+            var, _, conv = _surrogate_variance(
+                fs, complexify, rotated, n_rot, power, tol, method, **kwargs
             )
         return var[:n_out_modes], conv
 
