@@ -31,16 +31,39 @@ for direct solves.
 """
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Gram/kernel contractions feed Cholesky and Ritz extraction; on TPU the
+# default f32 matmul runs in bf16 passes (~1e-4 relative error), which is
+# larger than the rank-deficiency jitter.  Force true-f32 accumulation for
+# the small accuracy-critical contractions (n x n work — cheap); the big
+# (p-sized) back-projections stay at default precision.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _dot_hi(a, b):
+    return jnp.matmul(a, b, precision=_HI)
+
 
 def temporal_gram(X, jitter_rel=1e-6):
-    """Jittered temporal Gram ``X X^H + eps I`` (one MXU matmul)."""
-    G = X @ X.conj().T
+    """Jittered temporal Gram ``X X^H + eps I`` (one MXU matmul).
+
+    The jitter must exceed the Gram's accumulated roundoff so Cholesky
+    survives rank deficiency (centered data always has the mean direction
+    null; Hilbert-complexified data has only ~n/2 nonzero temporal modes —
+    half the spectrum is exactly zero).  Roundoff of a length-p f32
+    accumulation scales like ``eps * sqrt(p)`` relative to the diagonal,
+    so the effective jitter is ``max(jitter_rel, 8 eps sqrt(p))``.
+    """
+    G = _dot_hi(X, X.conj().T)
     d = jnp.mean(jnp.real(jnp.diagonal(G)))
     n = G.shape[0]
-    return G + (jitter_rel * d) * jnp.eye(n, dtype=G.dtype)
+    p = X.shape[1]
+    eps = float(jnp.finfo(jnp.real(jnp.zeros((), X.dtype)).dtype).eps)
+    rel = max(jitter_rel, 8.0 * eps * float(np.sqrt(p)))
+    return G + (rel * d) * jnp.eye(n, dtype=G.dtype)
 
 
 def reduced_kernel(Xl, Xr, jitter_rel=1e-6):
@@ -52,7 +75,7 @@ def reduced_kernel(Xl, Xr, jitter_rel=1e-6):
     dof = Xl.shape[0] - 1
     La = jnp.linalg.cholesky(temporal_gram(Xl, jitter_rel))
     Lb = jnp.linalg.cholesky(temporal_gram(Xr, jitter_rel))
-    M = La.conj().T @ Lb / dof
+    M = _dot_hi(La.conj().T, Lb) / dof
     return M, La, Lb
 
 
@@ -69,17 +92,19 @@ def subspace_svd(M, key, k, n_iter=8, oversample=16):
     kk = min(k + oversample, n, m)
     real_dtype = jnp.real(jnp.zeros((), M.dtype)).dtype
     omega = jax.random.normal(key, (m, kk), dtype=real_dtype).astype(M.dtype)
-    Q, _ = jnp.linalg.qr(M @ omega)
+    Q, _ = jnp.linalg.qr(_dot_hi(M, omega))
     for _ in range(n_iter):
-        Q, _ = jnp.linalg.qr(M @ (M.conj().T @ Q))
-    B = Q.conj().T @ M                       # (kk, m)
+        Q, _ = jnp.linalg.qr(_dot_hi(M, _dot_hi(M.conj().T, Q)))
+    B = _dot_hi(Q.conj().T, M)               # (kk, m)
     # small eigendecomposition of B B^H gives the Ritz values/vectors
-    w, W = jnp.linalg.eigh(B @ B.conj().T)
+    w, W = jnp.linalg.eigh(_dot_hi(B, B.conj().T))
     w = jnp.flip(w, -1)
     W = jnp.flip(W, -1)
     s = jnp.sqrt(jnp.clip(w, 0.0))
-    U = Q @ W
-    V = M.conj().T @ (U / jnp.where(s > 0, s, 1.0)[None, :].astype(M.dtype))
+    U = _dot_hi(Q, W)
+    V = _dot_hi(
+        M.conj().T, U / jnp.where(s > 0, s, 1.0)[None, :].astype(M.dtype)
+    )
     return U[:, :k], s[:k], V[:, :k]
 
 
@@ -95,8 +120,8 @@ def nuclear_norm(M, n_iter=50):
     fro = jnp.linalg.norm(M)
     W = M / fro
     for _ in range(n_iter):
-        W = 1.5 * W - 0.5 * (W @ (W.conj().T @ W))
-    return jnp.real(jnp.trace(W.conj().T @ M))
+        W = 1.5 * W - 0.5 * _dot_hi(W, _dot_hi(W.conj().T, W))
+    return jnp.real(jnp.trace(_dot_hi(W.conj().T, M)))
 
 
 @partial(jax.jit, static_argnames=('k', 'n_iter', 'with_nuclear'))
@@ -157,6 +182,10 @@ def fast_rotated_variance(Xl, Xr, key, n_rot, power=1, tol=1e-8,
     else:
         variance = norm_left ** 2
     variance = jnp.sort(variance)[::-1]
+    # a numerical breakdown anywhere upstream (e.g. Cholesky on a Gram
+    # whose roundoff exceeded the jitter) must mask the run, not poison
+    # the ensemble
+    converged = jnp.logical_and(converged, jnp.isfinite(variance).all())
     return variance, converged
 
 

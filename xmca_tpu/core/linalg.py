@@ -56,8 +56,9 @@ def field_decomposition(X, method='gram'):
     if method != 'gram':
         raise ValueError('method must be one of {"gram", "svd"}')
 
+    hi = jax.lax.Precision.HIGHEST
     if p <= n:
-        C = X.conj().T @ X                      # (p, p) on the MXU
+        C = jnp.matmul(X.conj().T, X, precision=hi)   # (p, p) on the MXU
         w, V = jnp.linalg.eigh(C)               # ascending
         w = jnp.flip(w, -1)
         V = jnp.flip(V, -1)
@@ -65,7 +66,7 @@ def field_decomposition(X, method='gram'):
         K = X @ (V * safe_reciprocal(L))        # (n, p) MXU matmul
         M = V
     else:
-        G = X @ X.conj().T                      # (n, n) on the MXU
+        G = jnp.matmul(X, X.conj().T, precision=hi)   # (n, n) on the MXU
         w, Q = jnp.linalg.eigh(G)
         w = jnp.flip(w, -1)
         Q = jnp.flip(Q, -1)
