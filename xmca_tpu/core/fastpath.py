@@ -62,8 +62,14 @@ def temporal_gram(X, jitter_rel=1e-6):
     n = G.shape[0]
     p = X.shape[1]
     eps = float(jnp.finfo(jnp.real(jnp.zeros((), X.dtype)).dtype).eps)
-    rel = max(jitter_rel, 8.0 * eps * float(np.sqrt(p)))
-    return G + (rel * d) * jnp.eye(n, dtype=G.dtype)
+    # two floors: summation roundoff relative to the mean diagonal, and
+    # ||G||-proportional roundoff (dominant when a few modes carry most of
+    # the spectrum — the Frobenius norm tracks lambda_max cheaply)
+    delta = jnp.maximum(
+        max(jitter_rel, 8.0 * eps * float(np.sqrt(p))) * d,
+        (50.0 * eps) * jnp.linalg.norm(G).real,
+    )
+    return G + delta * jnp.eye(n, dtype=G.dtype)
 
 
 def reduced_kernel(Xl, Xr, jitter_rel=1e-6):

@@ -42,10 +42,12 @@ def varimax(A, gamma=1.0, max_iter=1000, tol=1e-8, polar_method='svd'):
     """
     n, p = A.shape
     dtype = A.dtype
-    # the relative nuclear-norm change cannot resolve below machine eps;
-    # clamp so f32 runs terminate (f64 keeps the caller's tolerance)
+    # the relative nuclear-norm change cannot resolve below the compute
+    # dtype's roundoff floor (the criterion matrix mixes columns with large
+    # dynamic range); clamp so f32 runs terminate at their achievable
+    # accuracy (~1e-5) while f64 keeps the caller's tolerance
     eps = float(jnp.finfo(jnp.real(jnp.zeros((), dtype)).dtype).eps)
-    tol = jnp.maximum(jnp.asarray(tol), 20.0 * eps)
+    tol = jnp.maximum(jnp.asarray(tol), 100.0 * eps)
 
     # Kaiser normalization: scale rows to unit communality
     h = jnp.sqrt(jnp.sum((A * A.conj()).real, axis=1))
