@@ -36,14 +36,15 @@ def main():
     import jax.numpy as jnp
     from xmca_tpu.core.preprocess import complexify
     from xmca_tpu.core.fastpath import (fast_solve_truncated,
-                                        fast_rotated_variance)
+                                        fast_rotated_variance_analytic,
+                                        hilbert_imag_matrix)
     from xmca_tpu.core.rotation import promax
 
     on_tpu = jax.default_backend() == 'tpu'
     if on_tpu:
         n_obs, p_l, p_r = 2000, 100_000, 100_000
         n_surr = 125          # 1/8 of the 1000-surrogate north star
-        batch = 1
+        batch = 5
         n_rot = 10
         target_s = 60.0
         metric = 'cplx_rot_mca_solve_rotate_rulen1000_v5e8equiv_s'
@@ -88,36 +89,52 @@ def main():
                     * jnp.linalg.norm(L_rot[n_left:], axis=0))
         return s, variance, conv
 
-    # ---- step 2: complex rotated Rule-N surrogates (vmapped batches)
+    # ---- step 2: complex rotated Rule-N surrogates (vmapped batches).
+    # The analytic signal is folded into the Gram algebra
+    # (core.fastpath.hilbert_imag_matrix): per surrogate the only
+    # data-sized op is one real MXU Gram per field — no FFT, no complex
+    # field materialization.
+    H = jnp.asarray(hilbert_imag_matrix(n_obs, np.float32))
+
     def one_surrogate(run_key):
         ka, kb, kf = jax.random.split(run_key, 3)
         Sl = jax.random.normal(ka, (n_obs, p_l), jnp.float32)
         Sr = jax.random.normal(kb, (n_obs, p_r), jnp.float32)
-        Sl = complexify(Sl - jnp.mean(Sl, axis=0))
-        Sr = complexify(Sr - jnp.mean(Sr, axis=0))
-        var, conv = fast_rotated_variance(
-            Sl, Sr, kf, n_rot=n_rot, power=1, n_iter=8
+        Sl = Sl - jnp.mean(Sl, axis=0)
+        Sr = Sr - jnp.mean(Sr, axis=0)
+        var, conv = fast_rotated_variance_analytic(
+            Sl, Sr, H, kf, n_rot=n_rot, power=1, n_iter=8
         )
         return var, conv
 
     surrogate_batch = jax.jit(jax.vmap(one_surrogate))
     keys = jax.random.split(ke, n_surr)
 
-    # ---- warmup (compile; excluded from the measured wall-clock)
-    jax.block_until_ready(solve_rotate(Xl, Xr))
-    jax.block_until_ready(surrogate_batch(keys[:batch]))
+    # ---- warmup (compile; excluded from the measured wall-clock).
+    # Note: remote TPU backends can complete ``block_until_ready`` before
+    # execution finishes; a host transfer of a dependent scalar is the only
+    # reliable barrier, so timing brackets a float() readback.
+    w1 = solve_rotate(Xl, Xr)
+    float(jnp.sum(w1[1]).real)
+    w2 = surrogate_batch(keys[:batch])
+    float(jnp.sum(w2[0]))
 
     # ---- measured run
     t0 = time.perf_counter()
     s, variance, conv = solve_rotate(Xl, Xr)
     results = []
+    acc = jnp.zeros((), jnp.float32)
     for start in range(0, n_surr, batch):
         kb = keys[start:start + batch]
         if kb.shape[0] < batch:
             kb = jnp.concatenate([kb, keys[:batch - kb.shape[0]]])
-        results.append(surrogate_batch(kb))
-    jax.block_until_ready((s, variance, results))
+        var_b, conv_b = surrogate_batch(kb)
+        results.append((var_b, conv_b))
+        acc = acc + jnp.sum(var_b).astype(jnp.float32)
+    # dependent host readback = true end-to-end barrier
+    total = float(acc + jnp.sum(variance).real.astype(jnp.float32))
     wall = time.perf_counter() - t0
+    assert np.isfinite(total)
 
     var_surr = np.concatenate(
         [np.asarray(r[0]) for r in results], axis=0

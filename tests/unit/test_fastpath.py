@@ -126,3 +126,50 @@ def test_rule_n_fast_mode_statistics(sst, prcp):
     # same surrogate draws, approximate spectrum: close per entry
     assert_allclose(fast, exact, rtol=2e-2)
     assert_allclose(fast.mean(axis=1), exact.mean(axis=1), rtol=5e-3)
+
+
+def test_analytic_gram_path(xy):
+    """The Hilbert-in-the-Gram identity: G_Z = A G_X A^H, no FFT."""
+    import jax
+    from xmca_tpu.core.preprocess import analytic_signal
+    from xmca_tpu.core.fastpath import (hilbert_imag_matrix,
+                                        analytic_temporal_gram,
+                                        temporal_gram,
+                                        fast_rotated_variance_analytic)
+    Xl, Xr = xy
+    n = Xl.shape[0]
+    H = jnp.asarray(hilbert_imag_matrix(n, np.float64))
+
+    # analytic operator: x + iHx == scipy-style analytic signal
+    z_ref = np.asarray(analytic_signal(jnp.asarray(Xl)))
+    z_mat = Xl + 1j * np.asarray(H @ Xl)
+    assert np.abs(z_ref - z_mat).max() < 1e-10
+
+    Gz_ref = np.asarray(temporal_gram(jnp.asarray(z_ref), 1e-12))
+    Gz_mat = np.asarray(
+        analytic_temporal_gram(jnp.asarray(Xl), H, 1e-12)
+    )
+    assert (np.abs(Gz_ref - Gz_mat).max() / np.abs(Gz_ref).max()) < 1e-10
+
+    # end-to-end complex rotated variance vs the exact dense pipeline
+    from xmca_tpu.core.solver import solve_rotated_variance
+    Zl = analytic_signal(jnp.asarray(Xl))
+    Zr = analytic_signal(jnp.asarray(Xr))
+    var_e, conv_e = solve_rotated_variance(Zl, Zr, n_rot=8, power=1)
+    var_a, conv_a = fast_rotated_variance_analytic(
+        jnp.asarray(Xl), jnp.asarray(Xr), H, jax.random.PRNGKey(5),
+        n_rot=8, power=1, n_iter=12,
+    )
+    assert bool(conv_e) and bool(conv_a)
+    assert_allclose(np.asarray(var_a), np.asarray(var_e), rtol=2e-3)
+
+
+def test_rule_n_fast_complex_uses_analytic(sst, prcp):
+    """Fast complex Rule N (analytic Gram path) is statistically sane."""
+    from xmca_tpu.xarray import xMCA
+    m = xMCA(sst, prcp)
+    m.solve(complexify=True)
+    m.set_solver(spectrum='fast')
+    fast = np.asarray(m.rule_n(8, n_modes=10, seed=3))
+    assert fast.shape[0] == 10
+    assert np.isfinite(fast).all() and (fast > 0).all()

@@ -47,6 +47,139 @@ def _dot_hi(a, b):
     return jnp.matmul(a, b, precision=_HI)
 
 
+def _jitter(G, p, jitter_rel):
+    """Add the rank-deficiency jitter to a (possibly complex) Gram."""
+    d = jnp.mean(jnp.real(jnp.diagonal(G)))
+    n = G.shape[0]
+    eps = float(jnp.finfo(jnp.real(jnp.zeros((), G.dtype)).dtype).eps)
+    delta = jnp.maximum(
+        max(jitter_rel, 8.0 * eps * float(np.sqrt(p))) * d,
+        (50.0 * eps) * jnp.linalg.norm(G).real,
+    )
+    return G + delta * jnp.eye(n, dtype=G.dtype)
+
+
+def hilbert_imag_matrix(n, dtype=np.float32):
+    """The real n x n matrix H with ``analytic(x) = x + i H x``.
+
+    The discrete analytic-signal transform is linear in the (fixed-length)
+    time axis: ``A = F^-1 diag(h) F`` with the scipy.signal.hilbert
+    weights.  For real input its imaginary part is the real Hilbert
+    operator H.  Materializing H turns the per-surrogate FFT (slow on TPU
+    for mixed-radix lengths) into MXU matmuls, and more importantly lets
+    the complexified temporal Gram be assembled from the *real* data Gram:
+    ``G_Z = A G_X A^H = (G + H G H^T) + i (H G - G H^T)`` — the complex
+    field is never materialized at all.
+
+    Built once per length on host with float64 FFTs, cached.
+    """
+    key = (int(n), np.dtype(dtype).str)
+    if key not in _HILBERT_CACHE:
+        from xmca_tpu.core.preprocess import _analytic_weights
+        h = _analytic_weights(int(n), np.float64)
+        F = np.fft.fft(np.eye(int(n)), axis=0)
+        A = np.fft.ifft(h[:, None] * F, axis=0)
+        _HILBERT_CACHE[key] = np.ascontiguousarray(
+            A.imag.astype(dtype)
+        )
+    return _HILBERT_CACHE[key]
+
+
+_HILBERT_CACHE = {}
+
+
+def analytic_temporal_gram(X, H, jitter_rel=1e-6):
+    """Jittered temporal Gram of ``analytic(X)`` from real ``X`` directly.
+
+    ``G_Z = (G + H G H^T) + i (H G - G H^T)`` with ``G = X X^T``: one big
+    real MXU Gram plus three n x n matmuls — ~4x cheaper than a complex
+    Gram and no FFT.
+    """
+    G = _dot_hi(X, X.T)
+    HG = _dot_hi(H, G)
+    HGHt = _dot_hi(HG, H.T)
+    real = G + HGHt
+    imag = HG - HG.T          # H G - G H^T == HG - (HG)^T for symmetric G
+    GZ = real + 1j * imag
+    return _jitter(GZ.astype(_complex_dtype(X.dtype)), X.shape[1],
+                   jitter_rel)
+
+
+def _complex_dtype(real_dtype):
+    return jnp.result_type(real_dtype, jnp.complex64)
+
+
+def analytic_reduced_kernel(Xl, Xr, H, jitter_rel=1e-6):
+    """Chol-reduced kernel of the complexified fields from real data."""
+    dof = Xl.shape[0] - 1
+    La = jnp.linalg.cholesky(analytic_temporal_gram(Xl, H, jitter_rel))
+    Lb = jnp.linalg.cholesky(analytic_temporal_gram(Xr, H, jitter_rel))
+    M = _dot_hi(La.conj().T, Lb) / dof
+    return M, La, Lb
+
+
+def _analytic_spatial_vectors(X, H, T):
+    """``V = Z^H T`` for ``Z = (I + iH) X`` without materializing Z.
+
+    ``Z^H T = X^T (T - i H^T T)`` — one tall real-by-complex matmul.
+    """
+    S = T - 1j * (H.T @ T)
+    return (X.T @ S.real) + 1j * (X.T @ S.imag)
+
+
+@partial(jax.jit,
+         static_argnames=('n_rot', 'power', 'n_iter', 'bivariate'))
+def fast_rotated_variance_analytic(Xl, Xr, H, key, n_rot, power=1,
+                                   tol=1e-8, n_iter=8, jitter_rel=1e-6,
+                                   bivariate=True):
+    """Complex rotated variance spectrum from *real* centered fields.
+
+    The full complex-rotated Rule-N surrogate pipeline with the analytic
+    signal folded into the Gram algebra: per surrogate, the only
+    data-sized op is one real MXU Gram per field (plus a thin tall matmul
+    for the loadings) — no FFT, no complex Gram.
+    """
+    from xmca_tpu.core.rotation import promax
+
+    if Xr is None or not bivariate:
+        Xr = Xl
+    M, La, Lb = analytic_reduced_kernel(Xl, Xr, H, jitter_rel)
+    U, s, V = subspace_svd(M, key, k=n_rot, n_iter=n_iter)
+    Tl = jax.scipy.linalg.solve_triangular(La.conj().T, U, lower=False)
+    Vl = _analytic_spatial_vectors(Xl, H, Tl)
+    sqrt_s = jnp.sqrt(s).astype(Vl.dtype)
+    if bivariate:
+        Tr = jax.scipy.linalg.solve_triangular(
+            Lb.conj().T, V, lower=False
+        )
+        Vr = _analytic_spatial_vectors(Xr, H, Tr)
+        L = jnp.concatenate([Vl, Vr], axis=0) * sqrt_s[None, :]
+    else:
+        L = Vl * sqrt_s[None, :]
+    n_vars_left = Vl.shape[0]
+    L_rot, R, phi, converged, _ = promax(L, power=power, tol=tol)
+    norm_left = jnp.linalg.norm(L_rot[:n_vars_left, :], axis=0)
+    if bivariate:
+        norm_right = jnp.linalg.norm(L_rot[n_vars_left:, :], axis=0)
+        variance = norm_left * norm_right
+    else:
+        variance = norm_left ** 2
+    variance = jnp.sort(variance)[::-1]
+    converged = jnp.logical_and(converged, jnp.isfinite(variance).all())
+    return variance, converged
+
+
+@partial(jax.jit, static_argnames=('k', 'n_iter', 'with_nuclear'))
+def fast_spectrum_analytic(Xl, Xr, H, key, k, n_iter=8,
+                           with_nuclear=True, jitter_rel=1e-6):
+    """Top-k complexified kernel spectrum from real fields (no FFT)."""
+    M, _, _ = analytic_reduced_kernel(Xl, Xr, H, jitter_rel)
+    _, s, _ = subspace_svd(M, key, k=k, n_iter=n_iter)
+    if with_nuclear:
+        return s, nuclear_norm(M)
+    return s, jnp.sum(s)
+
+
 def temporal_gram(X, jitter_rel=1e-6):
     """Jittered temporal Gram ``X X^H + eps I`` (one MXU matmul).
 
@@ -58,18 +191,7 @@ def temporal_gram(X, jitter_rel=1e-6):
     so the effective jitter is ``max(jitter_rel, 8 eps sqrt(p))``.
     """
     G = _dot_hi(X, X.conj().T)
-    d = jnp.mean(jnp.real(jnp.diagonal(G)))
-    n = G.shape[0]
-    p = X.shape[1]
-    eps = float(jnp.finfo(jnp.real(jnp.zeros((), X.dtype)).dtype).eps)
-    # two floors: summation roundoff relative to the mean diagonal, and
-    # ||G||-proportional roundoff (dominant when a few modes carry most of
-    # the spectrum — the Frobenius norm tracks lambda_max cheaply)
-    delta = jnp.maximum(
-        max(jitter_rel, 8.0 * eps * float(np.sqrt(p))) * d,
-        (50.0 * eps) * jnp.linalg.norm(G).real,
-    )
-    return G + delta * jnp.eye(n, dtype=G.dtype)
+    return _jitter(G, X.shape[1], jitter_rel)
 
 
 def reduced_kernel(Xl, Xr, jitter_rel=1e-6):

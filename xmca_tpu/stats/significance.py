@@ -66,7 +66,7 @@ def _ensemble_map(one_run, keys, batch_size, mesh=None, axis='ensemble'):
 
 def _surrogate_variance(fields, complexify, rotated, n_rot, power, tol,
                         method, spectrum='exact', n_modes_fast=None,
-                        subspace_iters=12, fast_key=None):
+                        subspace_iters=12, fast_key=None, hilbert_H=None):
     """Variance spectrum + total + converged-flag of one surrogate solve.
 
     ``spectrum='exact'`` runs the dense eigh-based pipeline;
@@ -77,9 +77,26 @@ def _surrogate_variance(fields, complexify, rotated, n_rot, power, tol,
     though only the leading modes are materialized).
     """
     fields = [f - jnp.mean(f, axis=0) for f in fields]
+    bivariate = len(fields) == 2
+    if (spectrum == 'fast' and complexify and hilbert_H is not None
+            and not jnp.iscomplexobj(fields[0])):
+        # analytic-in-the-Gram path: the complex field is never built;
+        # one real MXU Gram per field (xmca_tpu.core.fastpath)
+        Xl = fields[0]
+        Xr = fields[1] if bivariate else None
+        if rotated:
+            var, conv = _fast.fast_rotated_variance_analytic(
+                Xl, Xr, hilbert_H, fast_key, n_rot=n_rot, power=power,
+                tol=tol, n_iter=subspace_iters, bivariate=bivariate,
+            )
+            return var, jnp.sum(var), conv
+        svals, total = _fast.fast_spectrum_analytic(
+            Xl, Xr if bivariate else Xl, hilbert_H, fast_key,
+            k=n_modes_fast, n_iter=subspace_iters,
+        )
+        return svals, total, jnp.asarray(True)
     if complexify:
         fields = [_complexify(f) for f in fields]
-    bivariate = len(fields) == 2
     Xl = fields[0]
     Xr = fields[1] if bivariate else None
     if rotated:
@@ -135,6 +152,12 @@ def rule_n_spectra(n_obs, n_vars, n_runs, *, complexify=False, rotated=False,
                                                           else 1)
         )
 
+    hilbert_H = None
+    if spectrum == 'fast' and complexify:
+        hilbert_H = jnp.asarray(
+            _fast.hilbert_imag_matrix(n_obs, dtype)
+        )
+
     def one_run(key):
         ks = jax.random.split(key, len(n_vars) + 1)
         fields = [
@@ -145,6 +168,7 @@ def rule_n_spectra(n_obs, n_vars, n_runs, *, complexify=False, rotated=False,
             fields, complexify, rotated, n_rot, power, tol, method,
             spectrum=spectrum, n_modes_fast=n_modes_fast,
             subspace_iters=subspace_iters, fast_key=ks[-1],
+            hilbert_H=hilbert_H,
         )
 
     keys = jax.random.split(jax.random.PRNGKey(seed), n_runs)
@@ -264,12 +288,19 @@ def bootstrap_spectra(fields, n_runs, n_out_modes, *, axis=0, on_left=True,
         idx = _block_indices(key, fs[1].shape[1], block_size, replace)
         return [fs[0], fs[1][:, idx]]
 
+    hilbert_H = None
+    if spectrum == 'fast' and complexify and not extend:
+        hilbert_H = jnp.asarray(
+            _fast.hilbert_imag_matrix(n_obs, dtype)
+        )
+
     def one_run(key):
         key, fast_key = jax.random.split(key)
         fs = resample(key, list(fields))
         kwargs = dict(
             spectrum=spectrum, n_modes_fast=n_out_modes,
             subspace_iters=subspace_iters, fast_key=fast_key,
+            hilbert_H=hilbert_H,
         )
         if complexify and extend:
             fs = [f - jnp.mean(f, axis=0) for f in fs]
