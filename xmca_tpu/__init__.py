@@ -25,4 +25,15 @@ from xmca_tpu.version import __version__
 
 __author__ = 'xmca_tpu developers'
 
-__all__ = ['__version__']
+__all__ = ['__version__', 'MCA', 'xMCA']
+
+
+def __getattr__(name):
+    # lazy top-level conveniences: xmca_tpu.MCA / xmca_tpu.xMCA
+    if name == 'MCA':
+        from xmca_tpu.api.array import MCA
+        return MCA
+    if name == 'xMCA':
+        from xmca_tpu.api.xarray import xMCA
+        return xMCA
+    raise AttributeError(name)

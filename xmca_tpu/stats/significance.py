@@ -13,7 +13,6 @@ Rotation non-convergence is returned as a mask; callers drop those runs,
 matching the reference's skip-on-RuntimeError semantics
 (xmca/array.py:1759-1763).
 """
-import math
 
 import numpy as np
 import jax
