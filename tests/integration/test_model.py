@@ -336,3 +336,45 @@ def test_invalid_extension(sst, prcp):
     model = xMCA(sst, prcp)
     with pytest.raises(ValueError):
         model.solve(complexify=True, extend='bogus')
+
+
+def test_truncated_solver_path(sst64, prcp64):
+    """set_solver(truncate=k): leading modes + exact totals via the
+    matmul-only pipeline (the huge-field TPU path)."""
+    full = xMCA(sst64, prcp64)
+    full.solve()
+    trunc = xMCA(sst64, prcp64)
+    trunc.set_solver(truncate=15, subspace_iters=14)
+    trunc.solve()
+
+    assert trunc._analysis['rank'] == 15
+    assert trunc._analysis['is_truncated']
+    # jitter floor of the fast pipeline is ~1e-6 relative
+    assert_allclose(
+        np.asarray(trunc.singular_values(10)),
+        np.asarray(full.singular_values(10)), rtol=1e-5,
+    )
+    # totals stay full-spectrum exact despite the truncation
+    assert abs(
+        trunc._analysis['total_covariance']
+        - full._analysis['total_covariance']
+    ) / full._analysis['total_covariance'] < 1e-4
+    assert abs(
+        trunc._analysis['total_squared_covariance']
+        - full._analysis['total_squared_covariance']
+    ) / full._analysis['total_squared_covariance'] < 1e-6
+    # percentages therefore agree with the full solve
+    assert_allclose(
+        np.asarray(trunc.explained_variance(5)),
+        np.asarray(full.explained_variance(5)), rtol=1e-4,
+    )
+    assert_allclose(
+        np.asarray(trunc.scf(5)), np.asarray(full.scf(5)), rtol=1e-4
+    )
+    # downstream machinery works on the truncated state
+    trunc.rotate(10)
+    pcs = trunc.pcs(5)
+    assert pcs['left'].shape[1] == 5
+    rec = trunc.reconstructed_fields(mode=3)
+    assert np.isfinite(np.asarray(rec['left'])[~np.isnan(
+        np.asarray(rec['left']))]).all()

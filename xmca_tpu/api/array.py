@@ -136,6 +136,8 @@ class MCA:
         self._ensemble_axis = 'ensemble'
         self._ensemble_spectrum = 'exact'
         self._subspace_iters = 12
+        self._solver_truncate = None
+        self._solver_seed = 0
 
     # ------------------------------------------------------------ ingestion
     def _set_field_meta(self, data):
@@ -179,7 +181,7 @@ class MCA:
     # --------------------------------------------------------------- config
     def set_solver(self, method=None, batch_size=None, mesh=None,
                    ensemble_axis='ensemble', spectrum=None,
-                   subspace_iters=None):
+                   subspace_iters=None, truncate=None, seed=None):
         """Configure the TPU solver (extension over the reference API).
 
         Parameters
@@ -202,6 +204,16 @@ class MCA:
             accurate to ~1e-4 relative on the leading modes.
         subspace_iters : int, optional
             Power-iteration count of the 'fast' spectrum path (default 12).
+        truncate : int, optional
+            Solve only the leading `truncate` modes using the matmul-only
+            subspace pipeline (the TPU path for very large fields,
+            n_obs <= n_space).  Totals (covariance / squared covariance)
+            are still exact: the nuclear norm comes from a Newton-Schulz
+            iteration and the Frobenius norm is closed-form, so
+            `explained_variance`/`scf` percentages are unaffected by the
+            truncation.  `rank` becomes `truncate`.
+        seed : int, optional
+            Seed of the subspace range-finder used by truncated solves.
         """
         if method is not None:
             if method not in ('gram', 'svd'):
@@ -218,6 +230,10 @@ class MCA:
             self._ensemble_spectrum = spectrum
         if subspace_iters is not None:
             self._subspace_iters = subspace_iters
+        if truncate is not None:
+            self._solver_truncate = int(truncate)
+        if seed is not None:
+            self._solver_seed = int(seed)
 
     def set_field_names(self, left='left', right='right'):
         """Set names of the left/right field, used in plots and save files."""
@@ -369,10 +385,17 @@ class MCA:
             }
 
         fields = [self._fields[k] for k in self._keys]
-        singular_values, Vs = _solver.solve(
-            fields, method=self._solver_method
-        )
-        singular_values = np.asarray(singular_values)
+        if self._solver_truncate is not None:
+            singular_values, Vs, totals = self._solve_truncated(fields)
+        else:
+            singular_values, Vs = _solver.solve(
+                fields, method=self._solver_method
+            )
+            singular_values = np.asarray(singular_values)
+            totals = (
+                float(singular_values.sum()),
+                float((singular_values ** 2).sum()),
+            )
         self._V = {k: np.asarray(V) for k, V in zip(self._keys, Vs)}
 
         self._singular_values = singular_values
@@ -380,17 +403,74 @@ class MCA:
         self._var_idx = np.argsort(singular_values)[::-1]
         self._norm = {k: np.sqrt(singular_values) for k in self._keys}
 
-        self._analysis['total_covariance'] = float(singular_values.sum())
-        self._analysis['total_squared_covariance'] = float(
-            (singular_values ** 2).sum()
-        )
+        self._analysis['total_covariance'] = totals[0]
+        self._analysis['total_squared_covariance'] = totals[1]
         self._analysis['rank'] = len(singular_values)
+        if self._solver_truncate is not None:
+            self._analysis['is_truncated'] = True
         self._analysis['is_rotated'] = False
         self._analysis['n_rot'] = len(singular_values)
         self._analysis['power'] = 0
         self._rotation_matrix = np.eye(len(singular_values))
         self._correlation_matrix = np.eye(len(singular_values))
         self._analysis['is_truncated_at'] = len(singular_values)
+
+    def _solve_truncated(self, fields):
+        """Leading-k solve via the matmul-only subspace pipeline.
+
+        Used when ``set_solver(truncate=k)`` is configured — the TPU path
+        for fields too large for a dense eigendecomposition.  Totals are
+        computed exactly from the reduced kernel: nuclear norm by
+        Newton-Schulz, squared sum as the Frobenius norm.
+        """
+        import jax
+        from xmca_tpu.core import fastpath as _fast
+
+        Xl = fields[0]
+        Xr = fields[1] if len(fields) == 2 else fields[0]
+        n_obs = Xl.shape[0]
+        rank_bound = min(
+            n_obs, int(Xl.shape[1]), int(Xr.shape[1])
+        )
+        k = min(self._solver_truncate, rank_bound)
+        key = jax.random.PRNGKey(self._solver_seed)
+
+        if min(int(Xl.shape[1]), int(Xr.shape[1])) < n_obs:
+            # small-space regime: the temporal Grams are rank deficient
+            # beyond the jitter, so the Cholesky reduction is invalid —
+            # use the exact pipeline (cheap here) with exact totals
+            s_full = np.asarray(_solver.solve_svals(
+                Xl, Xr if len(fields) == 2 else None,
+                method=self._solver_method,
+            ))
+            s, Vl, Vr = _solver.solve_truncated(
+                Xl, Xr if len(fields) == 2 else None, n_modes=k,
+                method=self._solver_method,
+            )
+            Vs = [np.asarray(Vl)]
+            if len(fields) == 2:
+                Vs.append(np.asarray(Vr))
+            return (np.asarray(s),
+                    Vs,
+                    (float(s_full.sum()), float((s_full ** 2).sum())))
+
+        M, La, Lb = _fast.reduced_kernel(Xl, Xr)
+        U, s, V = _fast.subspace_svd(
+            M, key, k=k, n_iter=self._subspace_iters
+        )
+        import jax.scipy.linalg as jsl
+        Vl = Xl.conj().T @ jsl.solve_triangular(
+            La.conj().T, U, lower=False
+        )
+        total_cov = float(_fast.nuclear_norm(M))
+        total_sq = float(jnp.sum(jnp.abs(M) ** 2))
+        Vs = [np.asarray(Vl)]
+        if len(fields) == 2:
+            Vr = Xr.conj().T @ jsl.solve_triangular(
+                Lb.conj().T, V, lower=False
+            )
+            Vs.append(np.asarray(Vr))
+        return np.asarray(s), Vs, (total_cov, total_sq)
 
     # --------------------------------------------------------------- rotate
     def rotate(self, n_rot, power=1, tol=1e-8):
