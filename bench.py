@@ -96,16 +96,28 @@ def main():
     # field materialization.
     H = jnp.asarray(hilbert_imag_matrix(n_obs, np.float32))
 
+    # Surrogate draws are bfloat16 with float32 MXU accumulation: random
+    # data plus ~0.4% quantization noise is an equally valid null sample
+    # (the induced relative error on Gram entries is ~1e-5, far below the
+    # Monte-Carlo sampling noise of the ensemble), and the Gram runs in
+    # the MXU's native single-pass mode.
+    surr_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    # Fused surrogate pipeline, vmapped in small batches.  The varimax
+    # while_loop is HBM-bandwidth-bound with a heavy-tailed iteration-count
+    # distribution, so small batches beat large ones (a batch pays the max
+    # iteration count of its members); the polar update uses Newton-Schulz
+    # matmuls instead of small SVDs.
     def one_surrogate(run_key):
         ka, kb, kf = jax.random.split(run_key, 3)
-        Sl = jax.random.normal(ka, (n_obs, p_l), jnp.float32)
-        Sr = jax.random.normal(kb, (n_obs, p_r), jnp.float32)
-        Sl = Sl - jnp.mean(Sl, axis=0)
-        Sr = Sr - jnp.mean(Sr, axis=0)
-        var, conv = fast_rotated_variance_analytic(
-            Sl, Sr, H, kf, n_rot=n_rot, power=1, n_iter=8
+        Sl = jax.random.normal(ka, (n_obs, p_l), surr_dtype)
+        Sr = jax.random.normal(kb, (n_obs, p_r), surr_dtype)
+        Sl = Sl - jnp.mean(Sl, axis=0, dtype=jnp.float32).astype(surr_dtype)
+        Sr = Sr - jnp.mean(Sr, axis=0, dtype=jnp.float32).astype(surr_dtype)
+        return fast_rotated_variance_analytic(
+            Sl, Sr, H, kf, n_rot=n_rot, power=1, n_iter=8,
+            polar_method='ns',
         )
-        return var, conv
 
     surrogate_batch = jax.jit(jax.vmap(one_surrogate))
     keys = jax.random.split(ke, n_surr)
@@ -118,28 +130,34 @@ def main():
     float(jnp.sum(w1[1]).real)
     w2 = surrogate_batch(keys[:batch])
     float(jnp.sum(w2[0]))
+    del w1, w2
 
     # ---- measured run
     t0 = time.perf_counter()
     s, variance, conv = solve_rotate(Xl, Xr)
-    results = []
-    acc = jnp.zeros((), jnp.float32)
+    var_parts = []
+    conv_parts = []
     for start in range(0, n_surr, batch):
         kb = keys[start:start + batch]
         if kb.shape[0] < batch:
             kb = jnp.concatenate([kb, keys[:batch - kb.shape[0]]])
-        var_b, conv_b = surrogate_batch(kb)
-        results.append((var_b, conv_b))
-        acc = acc + jnp.sum(var_b).astype(jnp.float32)
+        v, c = surrogate_batch(kb)
+        take = min(batch, n_surr - start)
+        var_parts.append(v[:take])
+        conv_parts.append(c[:take])
+    var_all = jnp.concatenate(var_parts, axis=0)
+    conv_all = jnp.concatenate(conv_parts, axis=0)
     # dependent host readback = true end-to-end barrier
-    total = float(acc + jnp.sum(variance).real.astype(jnp.float32))
+    total = float(
+        jnp.sum(var_all).astype(jnp.float32)
+        + jnp.sum(variance).real.astype(jnp.float32)
+    )
     wall = time.perf_counter() - t0
     assert np.isfinite(total)
 
-    var_surr = np.concatenate(
-        [np.asarray(r[0]) for r in results], axis=0
-    )[:n_surr]
+    var_surr = np.asarray(var_all)
     assert np.isfinite(var_surr).all()
+    assert int(np.asarray(conv_all).sum()) >= int(0.9 * n_surr)
     assert np.isfinite(np.asarray(variance)).all()
 
     print(json.dumps({

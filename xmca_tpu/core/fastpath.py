@@ -47,6 +47,22 @@ def _dot_hi(a, b):
     return jnp.matmul(a, b, precision=_HI)
 
 
+def _data_dot(a, b):
+    """Contraction over the big data axis, dtype-aware.
+
+    bfloat16 operands use the MXU's native single-pass mode with float32
+    accumulation (full speed; input quantization ~0.4%/element averages to
+    ~1e-5 relative on Gram entries — the surrogate-ensemble setting).
+    float32/float64 operands keep true-precision accumulation.
+    """
+    if a.dtype == jnp.bfloat16 or b.dtype == jnp.bfloat16:
+        return jax.lax.dot_general(
+            a, b, (((a.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return jnp.matmul(a, b, precision=_HI)
+
+
 def _jitter(G, p, jitter_rel):
     """Add the rank-deficiency jitter to a (possibly complex) Gram."""
     d = jnp.mean(jnp.real(jnp.diagonal(G)))
@@ -93,9 +109,10 @@ def analytic_temporal_gram(X, H, jitter_rel=1e-6):
 
     ``G_Z = (G + H G H^T) + i (H G - G H^T)`` with ``G = X X^T``: one big
     real MXU Gram plus three n x n matmuls — ~4x cheaper than a complex
-    Gram and no FFT.
+    Gram and no FFT.  ``X`` may be bfloat16 (surrogate ensembles); the
+    Gram always accumulates in float32.
     """
-    G = _dot_hi(X, X.T)
+    G = _data_dot(X, X.T)
     HG = _dot_hi(H, G)
     HGHt = _dot_hi(HG, H.T)
     real = G + HGHt
@@ -124,14 +141,15 @@ def _analytic_spatial_vectors(X, H, T):
     ``Z^H T = X^T (T - i H^T T)`` — one tall real-by-complex matmul.
     """
     S = T - 1j * (H.T @ T)
-    return (X.T @ S.real) + 1j * (X.T @ S.imag)
+    return (_data_dot(X.T, S.real) + 1j * _data_dot(X.T, S.imag))
 
 
 @partial(jax.jit,
-         static_argnames=('n_rot', 'power', 'n_iter', 'bivariate'))
+         static_argnames=('n_rot', 'power', 'n_iter', 'bivariate',
+                          'polar_method'))
 def fast_rotated_variance_analytic(Xl, Xr, H, key, n_rot, power=1,
                                    tol=1e-8, n_iter=8, jitter_rel=1e-6,
-                                   bivariate=True):
+                                   bivariate=True, polar_method='ns'):
     """Complex rotated variance spectrum from *real* centered fields.
 
     The full complex-rotated Rule-N surrogate pipeline with the analytic
@@ -157,7 +175,58 @@ def fast_rotated_variance_analytic(Xl, Xr, H, key, n_rot, power=1,
     else:
         L = Vl * sqrt_s[None, :]
     n_vars_left = Vl.shape[0]
-    L_rot, R, phi, converged, _ = promax(L, power=power, tol=tol)
+    L_rot, R, phi, converged, _ = promax(
+        L, power=power, tol=tol, polar_method=polar_method
+    )
+    norm_left = jnp.linalg.norm(L_rot[:n_vars_left, :], axis=0)
+    if bivariate:
+        norm_right = jnp.linalg.norm(L_rot[n_vars_left:, :], axis=0)
+        variance = norm_left * norm_right
+    else:
+        variance = norm_left ** 2
+    variance = jnp.sort(variance)[::-1]
+    converged = jnp.logical_and(converged, jnp.isfinite(variance).all())
+    return variance, converged
+
+
+@partial(jax.jit, static_argnames=('n_rot', 'n_iter', 'bivariate'))
+def fast_rotated_loadings_analytic(Xl, Xr, H, key, n_rot, n_iter=8,
+                                   jitter_rel=1e-6, bivariate=True):
+    """Stage-A of the two-stage rotated ensemble: loadings only.
+
+    Returns the sqrt-eigenvalue-scaled loading stack ``L`` (p_l+p_r, n_rot)
+    ready for rotation.  Splitting the pipeline here lets callers batch the
+    data-heavy Gram stage by memory and the latency-bound varimax
+    ``while_loop`` across the *entire* ensemble at once (one slow run no
+    longer stalls its small batch) — see bench.py.
+    """
+    if Xr is None or not bivariate:
+        Xr = Xl
+    M, La, Lb = analytic_reduced_kernel(Xl, Xr, H, jitter_rel)
+    U, s, V = subspace_svd(M, key, k=n_rot, n_iter=n_iter)
+    Tl = jax.scipy.linalg.solve_triangular(La.conj().T, U, lower=False)
+    Vl = _analytic_spatial_vectors(Xl, H, Tl)
+    sqrt_s = jnp.sqrt(s).astype(Vl.dtype)
+    if bivariate:
+        Tr = jax.scipy.linalg.solve_triangular(
+            Lb.conj().T, V, lower=False
+        )
+        Vr = _analytic_spatial_vectors(Xr, H, Tr)
+        L = jnp.concatenate([Vl, Vr], axis=0) * sqrt_s[None, :]
+    else:
+        L = Vl * sqrt_s[None, :]
+    return L
+
+
+@partial(jax.jit, static_argnames=('n_vars_left', 'power', 'bivariate',
+                                   'polar_method'))
+def rotated_variance_from_loadings(L, n_vars_left, power=1, tol=1e-8,
+                                   bivariate=True, polar_method='ns'):
+    """Stage-B: rotate a loading stack and return the variance spectrum."""
+    from xmca_tpu.core.rotation import promax
+    L_rot, R, phi, converged, _ = promax(
+        L, power=power, tol=tol, polar_method=polar_method
+    )
     norm_left = jnp.linalg.norm(L_rot[:n_vars_left, :], axis=0)
     if bivariate:
         norm_right = jnp.linalg.norm(L_rot[n_vars_left:, :], axis=0)
@@ -271,9 +340,11 @@ def fast_spectrum(Xl, Xr, key, k, n_iter=8, with_nuclear=True,
 
 
 @partial(jax.jit,
-         static_argnames=('n_rot', 'power', 'n_iter', 'bivariate'))
+         static_argnames=('n_rot', 'power', 'n_iter', 'bivariate',
+                          'polar_method'))
 def fast_rotated_variance(Xl, Xr, key, n_rot, power=1, tol=1e-8,
-                          n_iter=8, jitter_rel=1e-6, bivariate=True):
+                          n_iter=8, jitter_rel=1e-6, bivariate=True,
+                          polar_method='ns'):
     """Rotated variance spectrum via the matmul-only pipeline.
 
     Mirrors :func:`xmca_tpu.core.solver.solve_rotated_variance` but with
@@ -302,7 +373,9 @@ def fast_rotated_variance(Xl, Xr, key, n_rot, power=1, tol=1e-8,
     else:
         L = Vl * sqrt_s[None, :]
     n_vars_left = Vl.shape[0]
-    L_rot, R, phi, converged, _ = promax(L, power=power, tol=tol)
+    L_rot, R, phi, converged, _ = promax(
+        L, power=power, tol=tol, polar_method=polar_method
+    )
     norm_left = jnp.linalg.norm(L_rot[:n_vars_left, :], axis=0)
     if bivariate:
         norm_right = jnp.linalg.norm(L_rot[n_vars_left:, :], axis=0)

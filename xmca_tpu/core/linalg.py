@@ -106,15 +106,27 @@ def unitary_polar_factor(A, method='svd'):
     The varimax update (reference xmca/tools/rotation.py:59-61) is
     ``R = U V^H`` from an SVD of the criterion matrix with convergence
     tracked by ``sum(s)``.  ``U V^H`` is exactly the unitary factor of the
-    polar decomposition ``A = W P`` and ``sum(s) = trace(P)``, so on TPU we
-    can use the QDWH polar iteration (matmul/QR only, no SVD) via
-    ``jax.scipy.linalg.polar``.
+    polar decomposition ``A = W P`` and ``sum(s) = trace(P)``.
+
+    method='svd'   — exact, via dense SVD (the CPU/f64 parity path).
+    method='polar' — QDWH via ``jax.scipy.linalg.polar`` (QR + matmuls).
+    method='ns'    — scaled Newton-Schulz iteration: pure (batchable)
+        matmuls, the TPU fast path.  Small dense factorizations inside a
+        ``while_loop`` serialize badly on TPU; 30 fused matmul steps of a
+        p x p matrix cost microseconds instead.
 
     Returns (W, nuclear_norm).
     """
     if method == 'polar':
         W, P = jax.scipy.linalg.polar(A, side='right')
         return W, jnp.trace(P).real
+    if method == 'ns':
+        fro = jnp.linalg.norm(A)
+        W = A / jnp.where(fro == 0, 1.0, fro)
+        for _ in range(30):
+            W = 1.5 * W - 0.5 * (W @ (W.conj().T @ W))
+        d = jnp.real(jnp.trace(W.conj().T @ A))
+        return W, d
     u, s, vh = jnp.linalg.svd(A)
     return u @ vh, jnp.sum(s)
 
