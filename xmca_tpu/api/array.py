@@ -938,7 +938,19 @@ class MCA:
             self._analysis['is_truncated_at'] = n
 
     # --------------------------------------------------------- significance
-    def rule_n(self, n_runs, n_modes=None, seed=None):
+    @staticmethod
+    def _progress_bar(n_runs, disable):
+        """Per-batch progress callback (reference shows tqdm bars on its
+        Monte-Carlo loops, xmca/array.py:1753,1891)."""
+        try:
+            from tqdm import tqdm
+        except ImportError:
+            return None, lambda: None
+        bar = tqdm(total=n_runs, disable=disable)
+        return bar.update, bar.close
+
+    def rule_n(self, n_runs, n_modes=None, seed=None,
+               disable_progress=False):
         """Apply *Rule N* (Overland & Preisendorfer 1982).
 
         Surrogate spectra are computed as a vmapped, optionally
@@ -959,6 +971,7 @@ class MCA:
             n_modes_fast = min(
                 slc.stop, min(m.values()), min(n.values())
             )
+        progress, close = self._progress_bar(n_runs, disable_progress)
         spectra, totals = _sig.rule_n_spectra(
             m['left'], tuple(n[k] for k in self._keys), n_runs,
             complexify=self._analysis['is_complex'],
@@ -969,8 +982,9 @@ class MCA:
             batch_size=self._ensemble_batch_size,
             mesh=self._ensemble_mesh, ensemble_axis=self._ensemble_axis,
             spectrum=self._ensemble_spectrum, n_modes_fast=n_modes_fast,
-            subspace_iters=self._subspace_iters,
+            subspace_iters=self._subspace_iters, progress=progress,
         )
+        close()
         svals = spectra.T                        # (n_modes, n_runs)
         ref = self._get_variance()
         svals = svals / (totals[None, :] / ref.sum())
@@ -1014,7 +1028,12 @@ class MCA:
         if seed is None:
             seed = int(np.random.randint(0, 2 ** 31 - 1))
 
-        for mode in range(min(n_modes, n_modes_max)):
+        n_mode_iters = min(n_modes, n_modes_max)
+        progress, close = self._progress_bar(
+            n_runs * (1 if strategy == 'standard' else n_mode_iters),
+            disable_progress,
+        )
+        for mode in range(n_mode_iters):
             X_surr = self._get_X(original_scale=False, real=True)
             if strategy == 'iterative':
                 X_rec = self._reconstructed_X(
@@ -1036,6 +1055,7 @@ class MCA:
                 ensemble_axis=self._ensemble_axis,
                 spectrum=self._ensemble_spectrum,
                 subspace_iters=self._subspace_iters,
+                progress=progress,
             )
             # reference semantics: non-converged rotations leave this
             # mode's rows untouched (skip), xmca/array.py:1939-1943
@@ -1043,6 +1063,7 @@ class MCA:
 
             if strategy == 'standard':
                 break
+        close()
         return var_surr
 
     # ----------------------------------------------------------- save/load

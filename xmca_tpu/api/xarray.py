@@ -379,9 +379,12 @@ class xMCA(MCA):
         return pcs_new
 
     # --------------------------------------------------------- significance
-    def rule_n(self, n_runs, n_modes=None, seed=None):
+    def rule_n(self, n_runs, n_modes=None, seed=None,
+               disable_progress=False):
         """Rule-N surrogate spectra as a ('mode', 'run') DataArray."""
-        svals = super().rule_n(n_runs, n_modes, seed=seed)
+        svals = super().rule_n(
+            n_runs, n_modes, seed=seed, disable_progress=disable_progress
+        )
         slc = self._get_slice(n_modes)
         modes = list(range(slc.start + 1, slc.stop + 1))[:svals.shape[0]]
         return xr.DataArray(

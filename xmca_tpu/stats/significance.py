@@ -32,12 +32,15 @@ def _auto_batch(n_runs, n_obs, n_vars_total, itemsize, target_bytes=2 << 30):
     return int(min(n_runs, max(1, target_bytes // per_run)))
 
 
-def _ensemble_map(one_run, keys, batch_size, mesh=None, axis='ensemble'):
+def _ensemble_map(one_run, keys, batch_size, mesh=None, axis='ensemble',
+                  progress=None):
     """Run ``vmap(one_run)`` over ``keys`` in batches, optionally sharded.
 
     With a mesh, each batch's key array is placed with its leading axis
     sharded over ``axis`` — XLA runs the independent surrogates fully
     parallel across devices (DCN/ICI traffic: only the final gather).
+    ``progress`` is an optional callable receiving the per-batch run count
+    (e.g. ``tqdm.update``).
     """
     n_runs = keys.shape[0]
     fn = jax.jit(jax.vmap(one_run))
@@ -48,6 +51,7 @@ def _ensemble_map(one_run, keys, batch_size, mesh=None, axis='ensemble'):
         sharding = NamedSharding(mesh, P(axis))
     for start in range(0, n_runs, batch_size):
         kb = keys[start:start + batch_size]
+        n_in_batch = kb.shape[0]
         pad = (-kb.shape[0]) % n_dev
         if pad:
             kb = jnp.concatenate([kb, kb[:pad]], axis=0)
@@ -58,6 +62,8 @@ def _ensemble_map(one_run, keys, batch_size, mesh=None, axis='ensemble'):
         if pad:
             res = jax.tree_util.tree_map(lambda r: r[:r.shape[0] - pad], res)
         outs.append(res)
+        if progress is not None:
+            progress(n_in_batch)
     return jax.tree_util.tree_map(
         lambda *rs: np.concatenate(rs, axis=0), *outs
     )
@@ -126,7 +132,7 @@ def rule_n_spectra(n_obs, n_vars, n_runs, *, complexify=False, rotated=False,
                    n_rot=0, power=1, tol=1e-8, dtype=np.float64,
                    method='gram', seed=None, batch_size=None, mesh=None,
                    ensemble_axis='ensemble', spectrum='exact',
-                   n_modes_fast=None, subspace_iters=12):
+                   n_modes_fast=None, subspace_iters=12, progress=None):
     """Rule-N surrogate variance spectra (Overland & Preisendorfer 1982).
 
     TPU-native replacement for the reference's host loop
@@ -172,7 +178,8 @@ def rule_n_spectra(n_obs, n_vars, n_runs, *, complexify=False, rotated=False,
 
     keys = jax.random.split(jax.random.PRNGKey(seed), n_runs)
     spectra, totals, converged = _ensemble_map(
-        one_run, keys, batch_size, mesh=mesh, axis=ensemble_axis
+        one_run, keys, batch_size, mesh=mesh, axis=ensemble_axis,
+        progress=progress,
     )
     keep = np.asarray(converged)
     return spectra[keep], totals[keep]
@@ -207,7 +214,7 @@ def bootstrap_spectra(fields, n_runs, n_out_modes, *, axis=0, on_left=True,
                       rotated=False, n_rot=0, power=1, tol=1e-8,
                       method='gram', seed=None, batch_size=None, mesh=None,
                       ensemble_axis='ensemble', spectrum='exact',
-                      subspace_iters=12):
+                      subspace_iters=12, progress=None):
     """One round of (moving-block) bootstrap surrogate spectra.
 
     Vectorized equivalent of the reference's inner run loop
@@ -315,6 +322,7 @@ def bootstrap_spectra(fields, n_runs, n_out_modes, *, axis=0, on_left=True,
 
     keys = jax.random.split(jax.random.PRNGKey(seed), n_runs)
     spectra, converged = _ensemble_map(
-        one_run, keys, batch_size, mesh=mesh, axis=ensemble_axis
+        one_run, keys, batch_size, mesh=mesh, axis=ensemble_axis,
+        progress=progress,
     )
     return spectra, np.asarray(converged)
