@@ -63,7 +63,7 @@ def field_decomposition(X, method='gram'):
         w = jnp.flip(w, -1)
         V = jnp.flip(V, -1)
         L = jnp.sqrt(jnp.clip(w, 0.0))
-        K = X @ (V * safe_reciprocal(L))        # (n, p) MXU matmul
+        K = jnp.matmul(X, V * safe_reciprocal(L), precision=hi)
         M = V
     else:
         G = jnp.matmul(X, X.conj().T, precision=hi)   # (n, n) on the MXU
@@ -72,7 +72,7 @@ def field_decomposition(X, method='gram'):
         Q = jnp.flip(Q, -1)
         L = jnp.sqrt(jnp.clip(w, 0.0))
         K = Q
-        M = X.conj().T @ (Q * safe_reciprocal(L))
+        M = jnp.matmul(X.conj().T, Q * safe_reciprocal(L), precision=hi)
     return K[:, :r], L[:r], M[:, :r]
 
 

@@ -22,9 +22,17 @@ from xmca_tpu.core.linalg import field_decomposition
 from xmca_tpu.core.rotation import promax
 
 
+_HI = jax.lax.Precision.HIGHEST
+
+
 def _kernel(Kl, Ll, Kr, Lr, dof):
-    """Cross-covariance kernel in score space: ``(K_l L_l)^H (K_r L_r)/dof``."""
-    cross = Kl.conj().T @ Kr
+    """Cross-covariance kernel in score space: ``(K_l L_l)^H (K_r L_r)/dof``.
+
+    True-precision accumulation — the kernel feeds the SVD whose values are
+    the user-facing result; TPU default matmul precision (bf16 passes)
+    would cost ~1e-3 relative there.
+    """
+    cross = jnp.matmul(Kl.conj().T, Kr, precision=_HI)
     return (Ll[:, None] * cross * Lr[None, :]) / dof
 
 
@@ -40,8 +48,8 @@ def solve_mca(Xl, Xr, method='gram'):
     Kr, Lr, Mr = field_decomposition(Xr, method)
     kernel = _kernel(Kl, Ll, Kr, Lr, dof)
     Uk, s, Vkh = jnp.linalg.svd(kernel, full_matrices=False)
-    V_left = Ml @ Uk
-    V_right = Mr @ Vkh.conj().T
+    V_left = jnp.matmul(Ml, Uk, precision=_HI)
+    V_right = jnp.matmul(Mr, Vkh.conj().T, precision=_HI)
     return s, V_left, V_right
 
 
@@ -53,7 +61,7 @@ def solve_pca(X, method='gram'):
     K, L, M = field_decomposition(X, method)
     kernel = _kernel(K, L, K, L, dof)
     Uk, s, _ = jnp.linalg.svd(kernel, full_matrices=False)
-    V = M @ Uk
+    V = jnp.matmul(M, Uk, precision=_HI)
     return s, V
 
 
@@ -94,8 +102,8 @@ def solve_truncated(Xl, Xr=None, n_modes=None, method='gram'):
         Kr, Lr, Mr = field_decomposition(Xr, method)
     kernel = _kernel(Kl, Ll, Kr, Lr, dof)
     Uk, s, Vkh = jnp.linalg.svd(kernel, full_matrices=False)
-    V_left = Ml @ Uk[:, :n_modes]
-    V_right = Mr @ Vkh.conj().T[:, :n_modes]
+    V_left = jnp.matmul(Ml, Uk[:, :n_modes], precision=_HI)
+    V_right = jnp.matmul(Mr, Vkh.conj().T[:, :n_modes], precision=_HI)
     return s[:n_modes], V_left, V_right
 
 
