@@ -44,7 +44,7 @@ def main():
     if on_tpu:
         n_obs, p_l, p_r = 2000, 100_000, 100_000
         n_surr = 125          # 1/8 of the 1000-surrogate north star
-        batch = 5
+        batch = 1
         n_rot = 10
         target_s = 60.0
         metric = 'cplx_rot_mca_solve_rotate_rulen1000_v5e8equiv_s'
