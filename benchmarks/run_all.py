@@ -1,0 +1,193 @@
+"""Benchmark suite: the five BASELINE.md instrumentation configs.
+
+Each config prints one JSON line.  Sizes scale with the backend (full
+production shapes on TPU, smoke shapes on CPU so the suite is always
+runnable).  ``python benchmarks/run_all.py [config ...]`` with configs in
+{airtemp, rotation, cplx_theta, cplx_rot_large, significance}.
+
+1. air_temperature-like west/east MCA (2920 steps, ~1.3k cells)
+2. Varimax/Promax rotated PCA + MCA (n_rot=10, power 1 and 4)
+3. Complex MCA with theta extension (monthly 1-degree, 40 yr)
+4. Complex rotated MCA on 0.25-degree-scale fields (the north star;
+   full run: bench.py at the repo root)
+5. Rule-N + block-bootstrap significance ensembles
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def _setup():
+    import jax
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        '.jax_cache',
+    )
+    try:
+        jax.config.update('jax_compilation_cache_dir', cache)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
+    return jax, jax.default_backend() == 'tpu'
+
+
+def _fields(jax, n_obs, p_l, p_r, seed=0):
+    import jax.numpy as jnp
+    key = jax.random.PRNGKey(seed)
+    kl, kr = jax.random.split(key)
+    t = jnp.arange(n_obs, dtype=jnp.float32)
+    modes = jnp.sin(
+        2 * jnp.pi * t[:, None] * jnp.arange(1, 9)[None, :] / n_obs
+    )
+    Xl = (modes @ jax.random.normal(kl, (8, p_l), jnp.float32)
+          + jax.random.normal(jax.random.fold_in(kl, 1), (n_obs, p_l),
+                              jnp.float32))
+    Xr = (modes @ jax.random.normal(kr, (8, p_r), jnp.float32)
+          + jax.random.normal(jax.random.fold_in(kr, 1), (n_obs, p_r),
+                              jnp.float32))
+    return np.asarray(Xl), np.asarray(Xr)
+
+
+def _emit(metric, wall, extra=None):
+    rec = {'metric': metric, 'value': round(wall, 3), 'unit': 's'}
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def bench_airtemp():
+    """Config 1: 2920 steps x ~1.3k cells, plain MCA end to end."""
+    jax, on_tpu = _setup()
+    from xmca_tpu.array import MCA
+    Xl, Xr = _fields(jax, 2920, 36 * 19, 36 * 19)
+    m = MCA(Xl.reshape(2920, 19, 36), Xr.reshape(2920, 19, 36))
+    m.solve()  # warm compile
+    m2 = MCA(Xl.reshape(2920, 19, 36), Xr.reshape(2920, 19, 36))
+    t0 = time.perf_counter()
+    m2.solve()
+    _ = np.asarray(m2.singular_values(20))
+    _ = m2.pcs(20)
+    _ = m2.eofs(20)
+    _emit('airtemp_mca_solve_getters_s', time.perf_counter() - t0)
+
+
+def bench_rotation():
+    """Config 2: varimax + promax rotated PCA and MCA."""
+    jax, on_tpu = _setup()
+    from xmca_tpu.array import MCA
+    Xl, Xr = _fields(jax, 2920, 684, 684)
+    m = MCA(Xl, Xr)
+    m.solve()
+    m.rotate(10, power=1)  # warm
+    t0 = time.perf_counter()
+    for power in (1, 4):
+        pca = MCA(Xl)
+        pca.solve()
+        pca.rotate(10, power)
+        mca = MCA(Xl, Xr)
+        mca.solve()
+        mca.rotate(10, power)
+        _ = np.asarray(mca.explained_variance(10))
+    _emit('rotated_pca_mca_varimax_promax_s', time.perf_counter() - t0)
+
+
+def bench_cplx_theta():
+    """Config 3: complex MCA with theta extension, monthly 40 yr."""
+    jax, on_tpu = _setup()
+    from xmca_tpu.array import MCA
+    n_obs = 480  # 40 years monthly
+    p = 360 * 180 // 4 if on_tpu else 2000  # ~1-degree grid
+    Xl, Xr = _fields(jax, n_obs, p, p)
+    m = MCA(Xl, Xr)
+    m.solve(complexify=True, extend='theta', period=12)  # warm
+    m2 = MCA(Xl, Xr)
+    t0 = time.perf_counter()
+    m2.solve(complexify=True, extend='theta', period=12)
+    _ = np.asarray(m2.singular_values(20))
+    _emit('cplx_mca_theta_extension_s', time.perf_counter() - t0,
+          {'n_space': p})
+
+
+def bench_cplx_rot_large():
+    """Config 4: complex rotated solve on 0.25-degree-scale fields
+    (solve only; the full north-star run incl. 1000 surrogates is
+    bench.py)."""
+    jax, on_tpu = _setup()
+    import jax.numpy as jnp
+    from xmca_tpu.core.preprocess import complexify
+    from xmca_tpu.core.fastpath import fast_solve_truncated
+    from xmca_tpu.core.rotation import promax
+    n_obs = 2000
+    p = 100_000 if on_tpu else 4000
+    Xl, Xr = _fields(jax, n_obs, p, p)
+    jXl = jnp.asarray(Xl) - jnp.asarray(Xl).mean(0)
+    jXr = jnp.asarray(Xr) - jnp.asarray(Xr).mean(0)
+
+    @jax.jit
+    def run(Xl, Xr):
+        Zl, Zr = complexify(Xl), complexify(Xr)
+        s, Vl, Vr = fast_solve_truncated(
+            Zl, Zr, jax.random.PRNGKey(1), n_modes=10, n_iter=8
+        )
+        L = jnp.concatenate([Vl, Vr], 0) \
+            * jnp.sqrt(s).astype(Vl.dtype)[None]
+        L_rot, R, phi, conv, _ = promax(L, power=1, tol=1e-8)
+        return s, jnp.linalg.norm(L_rot, axis=0), conv
+
+    out = run(jXl, jXr)
+    float(jnp.sum(out[1]).astype(jnp.float32))  # warm barrier
+    t0 = time.perf_counter()
+    out = run(jXl, jXr)
+    total = float(jnp.sum(out[1]).astype(jnp.float32))
+    wall = time.perf_counter() - t0
+    assert np.isfinite(total)
+    _emit('cplx_rot_solve_large_s', wall, {'n_space': p})
+
+
+def bench_significance():
+    """Config 5: Rule-N + block-bootstrap ensembles on fixture-scale
+    data, exact and fast spectrum modes."""
+    jax, on_tpu = _setup()
+    from xmca_tpu.array import MCA
+    n_runs = 200 if on_tpu else 50
+    Xl, Xr = _fields(jax, 492, 684, 684)
+    m = MCA(Xl, Xr)
+    m.solve()
+    m.rule_n(2, seed=0, disable_progress=True)  # warm
+    t0 = time.perf_counter()
+    rn = m.rule_n(n_runs, seed=1, disable_progress=True)
+    _emit('rulen_exact_runs_per_s', time.perf_counter() - t0,
+          {'runs': int(rn.shape[1])})
+    m.set_solver(spectrum='fast')
+    m.rule_n(2, n_modes=20, seed=0, disable_progress=True)  # warm
+    t0 = time.perf_counter()
+    rn = m.rule_n(n_runs, n_modes=20, seed=1, disable_progress=True)
+    _emit('rulen_fast_runs_per_s', time.perf_counter() - t0,
+          {'runs': int(rn.shape[1])})
+    m.set_solver(spectrum='exact')
+    m.bootstrapping(4, 3, block_size=4, disable_progress=True, seed=2)
+    t0 = time.perf_counter()
+    bs = m.bootstrapping(
+        n_runs, 3, block_size=4, disable_progress=True, seed=3
+    )
+    _emit('block_bootstrap_runs_per_s', time.perf_counter() - t0,
+          {'runs': int(bs.shape[1])})
+
+
+ALL = {
+    'airtemp': bench_airtemp,
+    'rotation': bench_rotation,
+    'cplx_theta': bench_cplx_theta,
+    'cplx_rot_large': bench_cplx_rot_large,
+    'significance': bench_significance,
+}
+
+if __name__ == '__main__':
+    names = sys.argv[1:] or list(ALL)
+    for name in names:
+        ALL[name]()
