@@ -67,6 +67,7 @@ def bench_airtemp():
     Xl, Xr = _fields(jax, 2920, 36 * 19, 36 * 19)
     m = MCA(Xl.reshape(2920, 19, 36), Xr.reshape(2920, 19, 36))
     m.solve()  # warm compile
+    _ = m.pcs(20)
     m2 = MCA(Xl.reshape(2920, 19, 36), Xr.reshape(2920, 19, 36))
     t0 = time.perf_counter()
     m2.solve()
@@ -80,19 +81,21 @@ def bench_rotation():
     """Config 2: varimax + promax rotated PCA and MCA."""
     jax, on_tpu = _setup()
     from xmca_tpu.array import MCA
+
+    def sweep(Xl, Xr):
+        for power in (1, 4):
+            pca = MCA(Xl)
+            pca.solve()
+            pca.rotate(10, power)
+            mca = MCA(Xl, Xr)
+            mca.solve()
+            mca.rotate(10, power)
+            _ = np.asarray(mca.explained_variance(10))
+
     Xl, Xr = _fields(jax, 2920, 684, 684)
-    m = MCA(Xl, Xr)
-    m.solve()
-    m.rotate(10, power=1)  # warm
+    sweep(Xl, Xr)  # warm every shape/power combination (compile)
     t0 = time.perf_counter()
-    for power in (1, 4):
-        pca = MCA(Xl)
-        pca.solve()
-        pca.rotate(10, power)
-        mca = MCA(Xl, Xr)
-        mca.solve()
-        mca.rotate(10, power)
-        _ = np.asarray(mca.explained_variance(10))
+    sweep(Xl, Xr)
     _emit('rotated_pca_mca_varimax_promax_s', time.perf_counter() - t0)
 
 

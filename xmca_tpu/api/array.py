@@ -26,6 +26,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from xmca_tpu.version import __version__
+from xmca_tpu.utils.transfer import to_numpy as _to_np
 from xmca_tpu.utils.nan import (get_nan_cols, has_nan_time_steps,
                                 remove_nan_cols)
 from xmca_tpu.utils.text import secure_str, wrap_str
@@ -328,7 +329,7 @@ class MCA:
 
     # ------------------------------------------------------------ raw views
     def _get_X(self, original_scale=False, real=False):
-        X = {k: np.asarray(f) for k, f in self._fields.items()}
+        X = {k: _to_np(f) for k, f in self._fields.items()}
         if real:
             X = {k: x.real for k, x in X.items()}
         if original_scale:
@@ -396,7 +397,7 @@ class MCA:
                 float(singular_values.sum()),
                 float((singular_values ** 2).sum()),
             )
-        self._V = {k: np.asarray(V) for k, V in zip(self._keys, Vs)}
+        self._V = {k: _to_np(V) for k, V in zip(self._keys, Vs)}
 
         self._singular_values = singular_values
         self._variance = singular_values
@@ -447,9 +448,9 @@ class MCA:
                 Xl, Xr if len(fields) == 2 else None, n_modes=k,
                 method=self._solver_method,
             )
-            Vs = [np.asarray(Vl)]
+            Vs = [_to_np(Vl)]
             if len(fields) == 2:
-                Vs.append(np.asarray(Vr))
+                Vs.append(_to_np(Vr))
             return (np.asarray(s),
                     Vs,
                     (float(s_full.sum()), float((s_full ** 2).sum())))
@@ -501,7 +502,7 @@ class MCA:
                 'Rotation process did not converge. Try decreasing the '
                 'tolerance. Invalid NaN entries also might be a problem.'
             )
-        L_rot = np.asarray(L_rot)
+        L_rot = _to_np(L_rot)
 
         norm = {}
         norm['left'] = np.linalg.norm(L_rot[:n_vars_left, :], axis=0)
@@ -516,8 +517,8 @@ class MCA:
         self._variance = variance
         self._var_idx = var_idx
 
-        self._rotation_matrix = np.asarray(R)
-        self._correlation_matrix = np.asarray(Phi)
+        self._rotation_matrix = _to_np(R)
+        self._correlation_matrix = _to_np(Phi)
         self._analysis['is_rotated'] = True
         self._analysis['n_rot'] = n_rot
         self._analysis['power'] = power
@@ -611,7 +612,7 @@ class MCA:
         U = {}
         for k in self._keys:
             # PC time series: one device matmul per field
-            Uk = np.asarray(self._fields[k] @ jnp.asarray(V[k]))
+            Uk = _to_np(self._fields[k] @ jnp.asarray(V[k]))
             Uk = Uk / sqrt_svals
             if rotated:
                 Uk = Uk @ R
@@ -758,7 +759,7 @@ class MCA:
         yc = y - y.mean(axis=0)
         xn = np.linalg.norm(xc, axis=0)
         yn = np.linalg.norm(yc, axis=0)
-        r = np.asarray(jnp.asarray(xc).T @ jnp.asarray(yc))
+        r = _to_np(jnp.asarray(xc).T @ jnp.asarray(yc))
         r = r / np.outer(xn, yn)
         # two-sided p-value: 2 * BetaCDF(-|r|; a=b=n/2-1, loc=-1, scale=2)
         from scipy.special import betainc
@@ -812,7 +813,7 @@ class MCA:
         U = self._get_pcs(n=mode, scaling='eigen', rotated=True)
         Xrec = {}
         for loc in self._keys:
-            rec = np.asarray(
+            rec = _to_np(
                 jnp.asarray(U[loc]) @ jnp.asarray(V[loc]).conj().T
             )
             Xrec[loc] = rec.real
@@ -891,7 +892,7 @@ class MCA:
                     .format(k, x_new.shape[1:], fields_mean[k].shape)
                 ) from err
 
-            pcs = np.asarray(
+            pcs = _to_np(
                 jnp.asarray(x_new) @ jnp.asarray(V[k][:, :n_rot])
             ) / sqrt_svals[:n_rot]
             pcs = pcs @ R

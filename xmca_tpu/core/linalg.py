@@ -100,6 +100,30 @@ def randomized_decomposition(X, key, n_modes, n_iter=2):
     return K[:, :r], s[:r], Vh.conj().T[:, :r]
 
 
+def kernel_svd(K, compute_uv=True):
+    """Backend-aware SVD of a small dense kernel matrix.
+
+    CPU lowers to LAPACK (exact parity path).  On TPU, XLA's dense SVD is
+    an extremely slow iteration; the QDWH polar factorization
+    (``jax.scipy.linalg.polar`` — QR + matmuls, designed for TPU) followed
+    by one hermitian eigendecomposition is equivalent:
+    ``K = W P``, ``P = V S V^H``  =>  ``K = (W V) S V^H``.
+    """
+    if jax.default_backend() == 'cpu':
+        if not compute_uv:
+            return jnp.linalg.svd(K, compute_uv=False)
+        return jnp.linalg.svd(K, full_matrices=False)
+    W, P = jax.scipy.linalg.polar(K, side='right')
+    w, V = jnp.linalg.eigh(P)
+    w = jnp.flip(w, -1)
+    s = jnp.clip(w, 0.0)
+    if not compute_uv:
+        return s
+    V = jnp.flip(V, -1)
+    U = jnp.matmul(W, V, precision=jax.lax.Precision.HIGHEST)
+    return U, s, V.conj().T
+
+
 def unitary_polar_factor(A, method='svd'):
     """Unitary polar factor of ``A`` plus its nuclear norm.
 

@@ -26,12 +26,21 @@ import jax.numpy as jnp
 from xmca_tpu.core.linalg import unitary_polar_factor
 
 
+def _auto_polar_method():
+    """'svd' is exact and fast on CPU; on TPU a small dense SVD inside a
+    ``while_loop`` dispatches an iterative QDWH solve per rotation step
+    (pathologically slow) — the Newton-Schulz matmul polar is the right
+    primitive there."""
+    return 'svd' if jax.default_backend() == 'cpu' else 'ns'
+
+
 @partial(jax.jit, static_argnames=('max_iter', 'polar_method'))
-def varimax(A, gamma=1.0, max_iter=1000, tol=1e-8, polar_method='svd'):
+def varimax(A, gamma=1.0, max_iter=1000, tol=1e-8, polar_method=None):
     """Orthogonal Varimax rotation with Kaiser normalization.
 
     Parameters mirror the reference (xmca/tools/rotation.py:15); `gamma=1`
-    is varimax, `gamma=0` quartimax.
+    is varimax, `gamma=0` quartimax.  ``polar_method`` defaults per
+    backend (see ``_auto_polar_method``).
 
     Returns
     -------
@@ -40,6 +49,8 @@ def varimax(A, gamma=1.0, max_iter=1000, tol=1e-8, polar_method='svd'):
     converged : bool scalar — reference raises RuntimeError when False
     n_iter : number of iterations executed
     """
+    if polar_method is None:
+        polar_method = _auto_polar_method()
     n, p = A.shape
     dtype = A.dtype
     # the relative nuclear-norm change cannot resolve below the compute
@@ -81,7 +92,7 @@ def varimax(A, gamma=1.0, max_iter=1000, tol=1e-8, polar_method='svd'):
 
 
 @partial(jax.jit, static_argnames=('power', 'max_iter', 'polar_method'))
-def promax(A, power=1, max_iter=1000, tol=1e-8, polar_method='svd'):
+def promax(A, power=1, max_iter=1000, tol=1e-8, polar_method=None):
     """Oblique Promax rotation (power=1 reduces to Varimax).
 
     Returns (B, R, phi, converged, n_iter); the reference's signature plus

@@ -18,7 +18,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from xmca_tpu.core.linalg import field_decomposition
+from xmca_tpu.core.linalg import field_decomposition, kernel_svd
 from xmca_tpu.core.rotation import promax
 
 
@@ -47,7 +47,7 @@ def solve_mca(Xl, Xr, method='gram'):
     Kl, Ll, Ml = field_decomposition(Xl, method)
     Kr, Lr, Mr = field_decomposition(Xr, method)
     kernel = _kernel(Kl, Ll, Kr, Lr, dof)
-    Uk, s, Vkh = jnp.linalg.svd(kernel, full_matrices=False)
+    Uk, s, Vkh = kernel_svd(kernel)
     V_left = jnp.matmul(Ml, Uk, precision=_HI)
     V_right = jnp.matmul(Mr, Vkh.conj().T, precision=_HI)
     return s, V_left, V_right
@@ -60,7 +60,7 @@ def solve_pca(X, method='gram'):
     dof = X.shape[0] - 1
     K, L, M = field_decomposition(X, method)
     kernel = _kernel(K, L, K, L, dof)
-    Uk, s, _ = jnp.linalg.svd(kernel, full_matrices=False)
+    Uk, s, _ = kernel_svd(kernel)
     V = jnp.matmul(M, Uk, precision=_HI)
     return s, V
 
@@ -88,7 +88,7 @@ def solve_svals(Xl, Xr=None, method='gram'):
     else:
         Kr, Lr, _ = field_decomposition(Xr, method)
     kernel = _kernel(Kl, Ll, Kr, Lr, dof)
-    return jnp.linalg.svd(kernel, compute_uv=False)
+    return kernel_svd(kernel, compute_uv=False)
 
 
 @partial(jax.jit, static_argnames=('n_modes', 'method'))
@@ -101,7 +101,7 @@ def solve_truncated(Xl, Xr=None, n_modes=None, method='gram'):
     else:
         Kr, Lr, Mr = field_decomposition(Xr, method)
     kernel = _kernel(Kl, Ll, Kr, Lr, dof)
-    Uk, s, Vkh = jnp.linalg.svd(kernel, full_matrices=False)
+    Uk, s, Vkh = kernel_svd(kernel)
     V_left = jnp.matmul(Ml, Uk[:, :n_modes], precision=_HI)
     V_right = jnp.matmul(Mr, Vkh.conj().T[:, :n_modes], precision=_HI)
     return s[:n_modes], V_left, V_right
