@@ -102,10 +102,16 @@ def complexify(field, extend=False, period=1):
     back to the middle third and re-centered.
     """
     field = field.real
-    n = field.shape[0]
+    n, p = field.shape
     if extend:
-        post = extend_field(field, extend, period)
-        pre = jnp.flip(extend_field(jnp.flip(field, 0), extend, period), 0)
+        # forecast (post) and backcast (pre, = forecast of the flipped
+        # series) in ONE batched call: the columns of [field | flipped]
+        # are independent series, so a single vectorized fit covers both
+        # directions — halves the extension cost
+        both = jnp.concatenate([field, jnp.flip(field, 0)], axis=1)
+        ext = extend_field(both, extend, period)
+        post = ext[:, :p]
+        pre = jnp.flip(ext[:, p:], 0)
         full = jnp.concatenate([pre, field, post], axis=0)
         analytic = analytic_signal(full)[n:2 * n]
         return analytic - jnp.mean(analytic, axis=0)

@@ -75,8 +75,13 @@ def fused_center_gram(X, Y, mu_x, mu_y, w_x, w_y,
 
         xm = (x_ref[:] - mux_ref[:]) * wx_ref[:] * m_ref[:]
         ym = (y_ref[:] - muy_ref[:]) * wy_ref[:]
-        out_ref[:] += jnp.dot(
-            xm.T, ym, preferred_element_type=jnp.float32
+        # HIGHEST keeps true-f32 operands on the MXU (multi-pass); the
+        # default rounds inputs to bf16 (~1e-3 relative error) which is
+        # below the accuracy the downstream Cholesky needs
+        out_ref[:] += jax.lax.dot_general(
+            xm, ym, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     out = pl.pallas_call(
