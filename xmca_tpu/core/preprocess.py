@@ -28,16 +28,35 @@ def _analytic_weights(n, dtype):
     return h
 
 
+_HILBERT_MATMUL_MAX_N = 8192
+
+
 @jax.jit
 def analytic_signal(x):
     """Analytic signal of ``x (time, space)`` along axis 0.
 
-    Batched FFT equivalent of ``scipy.signal.hilbert(x, axis=0)``
-    (reference call site: xmca/array.py:464).
+    Equivalent of ``scipy.signal.hilbert(x, axis=0)`` (reference call
+    site: xmca/array.py:464).  On CPU this is the batched FFT; on TPU,
+    mixed-radix FFTs lower to slow Bluestein convolutions, so for
+    real input and moderate time lengths the transform runs as one MXU
+    matmul with the real Hilbert operator: ``z = x + i (H x)``
+    (exact — H is built from float64 FFTs on host; see
+    ``xmca_tpu.core.fastpath.hilbert_imag_matrix``).
     """
     n = x.shape[0]
+    real_dtype = np.result_type(jnp.zeros((), x.dtype).real.dtype)
+    use_matmul = (
+        jax.default_backend() != 'cpu'
+        and not jnp.iscomplexobj(x)
+        and n <= _HILBERT_MATMUL_MAX_N
+    )
+    if use_matmul:
+        from xmca_tpu.core.fastpath import hilbert_imag_matrix
+        H = jnp.asarray(hilbert_imag_matrix(n, real_dtype))
+        imag = jnp.matmul(H, x, precision=jax.lax.Precision.HIGHEST)
+        return x + 1j * imag
     Xf = jnp.fft.fft(x, axis=0)
-    h = _analytic_weights(n, np.result_type(jnp.zeros((), Xf.dtype).real.dtype))
+    h = _analytic_weights(n, real_dtype)
     return jnp.fft.ifft(Xf * h[:, None], axis=0)
 
 
