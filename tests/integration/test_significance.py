@@ -104,6 +104,50 @@ def test_rule_n_rotated_shape(sst, prcp):
     assert rn.shape[0] == 10
 
 
+def test_rule_n_mesh_batch_smaller_than_devices(sst, prcp):
+    """Sharded ensembles whose final batch has fewer runs than devices.
+
+    Regression: padding a 3-run batch to an 8-device multiple used to
+    concatenate only `kb[:pad]` (3 rows when 5 were needed), producing a
+    6-row batch that is not divisible by the mesh axis and crashing
+    ``jax.device_put``.  Keys must be tiled cyclically instead.
+    """
+    import jax
+    from xmca_tpu.parallel import make_mesh
+
+    mesh = make_mesh(ensemble=len(jax.devices()))
+    m = xMCA(sst, prcp)
+    m.solve()
+    unsharded = np.asarray(m.rule_n(3, seed=21))
+    m.set_solver(mesh=mesh)
+    sharded = np.asarray(m.rule_n(3, seed=21))
+    assert sharded.shape == unsharded.shape
+    # GSPMD partitioning changes contraction/reduction order; fixtures are
+    # f32 so per-run spectra agree to f32 roundoff, not bitwise
+    np.testing.assert_allclose(sharded, unsharded, rtol=1e-4)
+
+
+def test_rule_n_truncated_rescaling_matches_full(sst, prcp):
+    """Truncated solves must rescale surrogates by the exact stored total.
+
+    Regression: after ``set_solver(truncate=k)`` the materialized variance
+    spans only k modes, so rescaling by its sum biased surrogate
+    thresholds low.  With the fix the truncated model's Rule-N thresholds
+    match an untruncated model's leading modes (same seed, same surrogate
+    pipeline, only the rescale reference differs).
+    """
+    full = xMCA(sst, prcp)
+    full.solve()
+    rn_full = np.asarray(full.rule_n(3, seed=9, n_modes=8))
+
+    trunc = xMCA(sst, prcp)
+    trunc.set_solver(truncate=8)
+    trunc.solve()
+    rn_trunc = np.asarray(trunc.rule_n(3, seed=9, n_modes=8))
+
+    np.testing.assert_allclose(rn_trunc, rn_full, rtol=1e-3)
+
+
 def test_rule_north(solved):
     err = np.asarray(solved.rule_north(10))
     sv = np.asarray(solved.singular_values(10))

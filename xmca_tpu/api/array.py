@@ -465,12 +465,15 @@ class MCA:
         )
         total_cov = float(_fast.nuclear_norm(M))
         total_sq = float(jnp.sum(jnp.abs(M) ** 2))
-        Vs = [np.asarray(Vl)]
+        # _to_np, never np.asarray: Vl/Vr are complex device arrays when
+        # solve(complexify=True), and a direct complex device->host
+        # transfer fails (and poisons the array) on the axon TPU backend
+        Vs = [_to_np(Vl)]
         if len(fields) == 2:
             Vr = Xr.conj().T @ jsl.solve_triangular(
                 Lb.conj().T, V, lower=False
             )
-            Vs.append(np.asarray(Vr))
+            Vs.append(_to_np(Vr))
         return np.asarray(s), Vs, (total_cov, total_sq)
 
     # --------------------------------------------------------------- rotate
@@ -987,8 +990,20 @@ class MCA:
         )
         close()
         svals = spectra.T                        # (n_modes, n_runs)
-        ref = self._get_variance()
-        svals = svals / (totals[None, :] / ref.sum())
+        # Rule-N rescaling normalizes each surrogate's full-spectrum total
+        # to the true analysis total.  After set_solver(truncate=k) the
+        # materialized variance spans only the k kept modes, so its sum
+        # underestimates the true-spectrum total; the exact total (nuclear
+        # norm of the reduced kernel) stored at solve time is the right
+        # scale for the unrotated case.  Rotated Rule-N compares rotated
+        # n_rot-mode totals on both sides, where the materialized sum *is*
+        # the correct reference.
+        if (self._analysis['is_truncated']
+                and not self._analysis['is_rotated']):
+            ref_total = self._analysis['total_covariance']
+        else:
+            ref_total = self._get_variance().sum()
+        svals = svals / (totals[None, :] / ref_total)
         n_modes = self._get_slice(n_modes)
         return svals[n_modes]
 

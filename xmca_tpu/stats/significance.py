@@ -54,7 +54,10 @@ def _ensemble_map(one_run, keys, batch_size, mesh=None, axis='ensemble',
         n_in_batch = kb.shape[0]
         pad = (-kb.shape[0]) % n_dev
         if pad:
-            kb = jnp.concatenate([kb, kb[:pad]], axis=0)
+            # tile cyclically: the final batch may hold fewer rows than the
+            # padding needs (n_in_batch < pad), so a single concat of
+            # kb[:pad] would under-pad and break the sharded device_put
+            kb = jnp.resize(kb, (n_in_batch + pad,) + kb.shape[1:])
         if mesh is not None:
             kb = jax.device_put(kb, sharding)
         res = fn(kb)

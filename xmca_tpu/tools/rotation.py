@@ -9,6 +9,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from xmca_tpu.core import rotation as _core
+from xmca_tpu.utils.transfer import to_numpy as _to_np
 
 _NON_CONVERGENCE_MSG = (
     'Rotation process did not converge. Try decreasing the tolerance. '
@@ -26,7 +27,9 @@ def varimax(A, gamma=1, maxIter=1000, tol=1e-8):
     )
     if not bool(converged):
         raise RuntimeError(_NON_CONVERGENCE_MSG)
-    return np.asarray(B), np.asarray(R)
+    # materialize via the transfer helper: complex device->host transfers
+    # must be split into two real transfers on the axon TPU backend
+    return _to_np(B), _to_np(R)
 
 
 def promax(A, power=1, maxIter=1000, tol=1e-8):
@@ -48,4 +51,4 @@ def promax(A, power=1, maxIter=1000, tol=1e-8):
     )
     if not bool(converged):
         raise RuntimeError(_NON_CONVERGENCE_MSG)
-    return np.asarray(B), np.asarray(R), np.asarray(phi)
+    return _to_np(B), _to_np(R), _to_np(phi)
