@@ -23,10 +23,12 @@ import os
 from datetime import datetime
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from xmca_tpu.version import __version__
 from xmca_tpu.utils.transfer import to_numpy as _to_np
+from xmca_tpu.utils.transfer import to_device as _to_dev
 from xmca_tpu.utils.nan import (get_nan_cols, has_nan_time_steps,
                                 remove_nan_cols)
 from xmca_tpu.utils.text import secure_str, wrap_str
@@ -130,15 +132,22 @@ class MCA:
         }
         self._analysis['method'] = self._get_method_id()
 
-        # TPU solver configuration (extension over the reference)
+        # TPU solver configuration (extension over the reference).
+        # Backend-aware defaults: on TPU, Monte-Carlo ensembles run the
+        # matmul-only fast spectrum (dense eigh/svd are iterative QDWH
+        # solves there — pathologically slow); on CPU the exact dense
+        # path is both faster and reference-exact.
         self._solver_method = _DEFAULT_METHOD
         self._ensemble_batch_size = None
         self._ensemble_mesh = None
         self._ensemble_axis = 'ensemble'
-        self._ensemble_spectrum = 'exact'
+        self._ensemble_spectrum = (
+            'fast' if jax.default_backend() == 'tpu' else 'exact'
+        )
         self._subspace_iters = 12
         self._solver_truncate = None
         self._solver_seed = 0
+        self._surrogate_dtype = None
 
     # ------------------------------------------------------------ ingestion
     def _set_field_meta(self, data):
@@ -182,7 +191,8 @@ class MCA:
     # --------------------------------------------------------------- config
     def set_solver(self, method=None, batch_size=None, mesh=None,
                    ensemble_axis='ensemble', spectrum=None,
-                   subspace_iters=None, truncate=None, seed=None):
+                   subspace_iters=None, truncate=None, seed=None,
+                   surrogate_dtype=None):
         """Configure the TPU solver (extension over the reference API).
 
         Parameters
@@ -198,11 +208,12 @@ class MCA:
             Device mesh; Monte-Carlo ensembles shard their run axis over
             ``ensemble_axis``.
         spectrum : {'exact', 'fast'}, optional
-            Monte-Carlo surrogate spectrum algorithm.  'exact' (default)
-            uses dense factorizations; 'fast' uses the matmul-only
-            Cholesky-reduced kernel + subspace iteration + Newton-Schulz
-            nuclear norm (xmca_tpu.core.fastpath) — the TPU ensemble path,
-            accurate to ~1e-4 relative on the leading modes.
+            Monte-Carlo surrogate spectrum algorithm.  'exact' uses dense
+            factorizations (the default on CPU); 'fast' uses the
+            matmul-only Cholesky-reduced kernel + subspace iteration +
+            Newton-Schulz nuclear norm (xmca_tpu.core.fastpath) —
+            accurate to ~1e-4 relative on the leading modes and the
+            default on TPU.
         subspace_iters : int, optional
             Power-iteration count of the 'fast' spectrum path (default 12).
         truncate : int, optional
@@ -215,6 +226,15 @@ class MCA:
             truncation.  `rank` becomes `truncate`.
         seed : int, optional
             Seed of the subspace range-finder used by truncated solves.
+        surrogate_dtype : dtype-like, optional
+            Draw dtype of Rule-N Gaussian surrogates.  Default: bfloat16
+            on the TPU fast path (random draws plus ~0.4% quantization
+            noise are an equally valid null sample; the induced shift of
+            the null-distribution quantiles is far below Monte-Carlo
+            sampling noise — measured in
+            tests/integration/test_shipping_accuracy.py), the field's
+            real dtype otherwise.  Bootstrap resampling always keeps the
+            data's own dtype (quantizing *real* data would bias it).
         """
         if method is not None:
             if method not in ('gram', 'svd'):
@@ -235,6 +255,8 @@ class MCA:
             self._solver_truncate = int(truncate)
         if seed is not None:
             self._solver_seed = int(seed)
+        if surrogate_dtype is not None:
+            self._surrogate_dtype = np.dtype(surrogate_dtype)
 
     def set_field_names(self, left='left', right='right'):
         """Set names of the left/right field, used in plots and save files."""
@@ -368,7 +390,9 @@ class MCA:
                 'Fields are empty. Did you forget to load data?'
             )
         if any(
-            np.isnan(np.asarray(field)).all()
+            # device-side reduction; only a bool crosses to host (a direct
+            # np.asarray of a complex device array fails on axon)
+            bool(jnp.isnan(jnp.abs(field)).all())
             for field in self._fields.values()
         ):
             raise RuntimeError(
@@ -455,26 +479,17 @@ class MCA:
                     Vs,
                     (float(s_full.sum()), float((s_full ** 2).sum())))
 
-        M, La, Lb = _fast.reduced_kernel(Xl, Xr)
-        U, s, V = _fast.subspace_svd(
-            M, key, k=k, n_iter=self._subspace_iters
+        s, Vl, Vr, total_cov, total_sq = _fast.fast_solve_truncated_totals(
+            Xl, Xr, key, n_modes=k, n_iter=self._subspace_iters
         )
-        import jax.scipy.linalg as jsl
-        Vl = Xl.conj().T @ jsl.solve_triangular(
-            La.conj().T, U, lower=False
-        )
-        total_cov = float(_fast.nuclear_norm(M))
-        total_sq = float(jnp.sum(jnp.abs(M) ** 2))
         # _to_np, never np.asarray: Vl/Vr are complex device arrays when
         # solve(complexify=True), and a direct complex device->host
         # transfer fails (and poisons the array) on the axon TPU backend
         Vs = [_to_np(Vl)]
         if len(fields) == 2:
-            Vr = Xr.conj().T @ jsl.solve_triangular(
-                Lb.conj().T, V, lower=False
-            )
             Vs.append(_to_np(Vr))
-        return np.asarray(s), Vs, (total_cov, total_sq)
+        return (np.asarray(s), Vs,
+                (float(total_cov), float(total_sq)))
 
     # --------------------------------------------------------------- rotate
     def rotate(self, n_rot, power=1, tol=1e-8):
@@ -498,7 +513,7 @@ class MCA:
         L = np.concatenate([V[k] for k in self._keys])
         L = L * sqrt_svals
         L_rot, R, Phi, converged, _ = _promax(
-            jnp.asarray(L), power=int(power), max_iter=1000, tol=tol
+            _to_dev(L), power=int(power), max_iter=1000, tol=tol
         )
         if not bool(converged):
             raise RuntimeError(
@@ -615,7 +630,7 @@ class MCA:
         U = {}
         for k in self._keys:
             # PC time series: one device matmul per field
-            Uk = _to_np(self._fields[k] @ jnp.asarray(V[k]))
+            Uk = _to_np(self._fields[k] @ _to_dev(V[k]))
             Uk = Uk / sqrt_svals
             if rotated:
                 Uk = Uk @ R
@@ -817,7 +832,7 @@ class MCA:
         Xrec = {}
         for loc in self._keys:
             rec = _to_np(
-                jnp.asarray(U[loc]) @ jnp.asarray(V[loc]).conj().T
+                _to_dev(U[loc]) @ _to_dev(V[loc]).conj().T
             )
             Xrec[loc] = rec.real
         if original_scale:
@@ -896,7 +911,7 @@ class MCA:
                 ) from err
 
             pcs = _to_np(
-                jnp.asarray(x_new) @ jnp.asarray(V[k][:, :n_rot])
+                _to_dev(x_new) @ _to_dev(V[k][:, :n_rot])
             ) / sqrt_svals[:n_rot]
             pcs = pcs @ R
             pcs = pcs[:, var_idx]
@@ -965,9 +980,18 @@ class MCA:
         """
         m = self._n_observations
         n = self._n_variables
-        dtype = np.dtype(
-            np.asarray(self._fields[self._keys[0]]).real.dtype
-        )
+        if self._surrogate_dtype is not None:
+            dtype = self._surrogate_dtype
+        elif (self._ensemble_spectrum == 'fast'
+                and jax.default_backend() == 'tpu'):
+            # bfloat16 Gaussian draws on the TPU fast path: the MXU runs
+            # the data-sized Gram in native single-pass mode (float32
+            # accumulation); see set_solver(surrogate_dtype=...)
+            dtype = np.dtype(jnp.bfloat16)
+        else:
+            dtype = np.dtype(
+                jnp.finfo(self._fields[self._keys[0]].dtype).dtype
+            )
 
         n_modes_fast = None
         if self._ensemble_spectrum == 'fast':

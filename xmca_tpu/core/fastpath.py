@@ -63,13 +63,29 @@ def _data_dot(a, b):
     return jnp.matmul(a, b, precision=_HI)
 
 
-def _jitter(G, p, jitter_rel):
-    """Add the rank-deficiency jitter to a (possibly complex) Gram."""
+def _jitter(G, p, jitter_rel, input_eps=None):
+    """Add the rank-deficiency jitter to a (possibly complex) Gram.
+
+    ``input_eps``: machine epsilon of the DATA dtype the Gram was
+    accumulated from.  bfloat16 operands reach the MXU/batched-dot with
+    ~2^-8 quantization, and the accumulation order of batched dots is not
+    the unbatched order — measured negative eigenvalues of the (exactly
+    PSD in real arithmetic) Gram reach ~1e-3 of the mean diagonal under
+    ``vmap``, far above the f32 floors.  The 0.5*eps_input*d floor keeps
+    Cholesky positive definite with ~5x margin while perturbing null
+    spectra by ~1e-3 relative — far below Monte-Carlo sampling noise.
+    """
     d = jnp.mean(jnp.real(jnp.diagonal(G)))
     n = G.shape[0]
-    eps = float(jnp.finfo(jnp.real(jnp.zeros((), G.dtype)).dtype).eps)
+    # host-side dtype probe: finfo of a complex dtype reports its real
+    # component type — never dispatch a device op just to learn a dtype
+    # (eager 0-d complex ops fail to compile on the axon TPU backend)
+    eps = float(jnp.finfo(G.dtype).eps)
+    rel_floor = max(jitter_rel, 8.0 * eps * float(np.sqrt(p)))
+    if input_eps is not None:
+        rel_floor = max(rel_floor, 0.5 * float(input_eps))
     delta = jnp.maximum(
-        max(jitter_rel, 8.0 * eps * float(np.sqrt(p))) * d,
+        rel_floor * d,
         (50.0 * eps) * jnp.linalg.norm(G).real,
     )
     return G + delta * jnp.eye(n, dtype=G.dtype)
@@ -119,7 +135,7 @@ def analytic_temporal_gram(X, H, jitter_rel=1e-6):
     imag = HG - HG.T          # H G - G H^T == HG - (HG)^T for symmetric G
     GZ = real + 1j * imag
     return _jitter(GZ.astype(_complex_dtype(X.dtype)), X.shape[1],
-                   jitter_rel)
+                   jitter_rel, input_eps=jnp.finfo(X.dtype).eps)
 
 
 def _complex_dtype(real_dtype):
@@ -260,7 +276,8 @@ def temporal_gram(X, jitter_rel=1e-6):
     so the effective jitter is ``max(jitter_rel, 8 eps sqrt(p))``.
     """
     G = _dot_hi(X, X.conj().T)
-    return _jitter(G, X.shape[1], jitter_rel)
+    return _jitter(G, X.shape[1], jitter_rel,
+                   input_eps=jnp.finfo(X.dtype).eps)
 
 
 def reduced_kernel(Xl, Xr, jitter_rel=1e-6):
@@ -287,7 +304,7 @@ def subspace_svd(M, key, k, n_iter=8, oversample=16):
     """
     n, m = M.shape
     kk = min(k + oversample, n, m)
-    real_dtype = jnp.real(jnp.zeros((), M.dtype)).dtype
+    real_dtype = jnp.finfo(M.dtype).dtype
     omega = jax.random.normal(key, (m, kk), dtype=real_dtype).astype(M.dtype)
     Q, _ = jnp.linalg.qr(_dot_hi(M, omega))
     for _ in range(n_iter):
@@ -406,3 +423,26 @@ def fast_solve_truncated(Xl, Xr, key, n_modes, n_iter=8, jitter_rel=1e-6):
     V_left = Xl.conj().T @ Zl
     V_right = Xr.conj().T @ Zr
     return s, V_left, V_right
+
+
+@partial(jax.jit, static_argnames=('n_modes', 'n_iter'))
+def fast_solve_truncated_totals(Xl, Xr, key, n_modes, n_iter=8,
+                                jitter_rel=1e-6):
+    """Truncated solve + exact spectrum totals, as ONE compiled graph.
+
+    The public ``set_solver(truncate=k)`` path: everything from the
+    Gram contraction to the Newton-Schulz nuclear norm compiles into a
+    single XLA program (eagerly dispatching the intermediate ops would
+    both serialize them and, on the axon TPU backend, hit unimplemented
+    standalone complex kernels).  Returns
+    (s, V_left, V_right, total_cov, total_sq).
+    """
+    M, La, Lb = reduced_kernel(Xl, Xr, jitter_rel)
+    U, s, V = subspace_svd(M, key, k=n_modes, n_iter=n_iter)
+    Zl = jax.scipy.linalg.solve_triangular(La.conj().T, U, lower=False)
+    Zr = jax.scipy.linalg.solve_triangular(Lb.conj().T, V, lower=False)
+    V_left = Xl.conj().T @ Zl
+    V_right = Xr.conj().T @ Zr
+    total_cov = nuclear_norm(M)
+    total_sq = jnp.sum(jnp.abs(M) ** 2)
+    return s, V_left, V_right, total_cov, total_sq

@@ -44,7 +44,7 @@ def analytic_signal(x):
     ``xmca_tpu.core.fastpath.hilbert_imag_matrix``).
     """
     n = x.shape[0]
-    real_dtype = np.result_type(jnp.zeros((), x.dtype).real.dtype)
+    real_dtype = jnp.finfo(x.dtype).dtype
     use_matmul = (
         jax.default_backend() != 'cpu'
         and not jnp.iscomplexobj(x)

@@ -57,14 +57,15 @@ def varimax(A, gamma=1.0, max_iter=1000, tol=1e-8, polar_method=None):
     # dtype's roundoff floor (the criterion matrix mixes columns with large
     # dynamic range); clamp so f32 runs terminate at their achievable
     # accuracy (~1e-5) while f64 keeps the caller's tolerance
-    eps = float(jnp.finfo(jnp.real(jnp.zeros((), dtype)).dtype).eps)
+    real_dtype = jnp.finfo(dtype).dtype
+    eps = float(jnp.finfo(dtype).eps)
     tol = jnp.maximum(jnp.asarray(tol), 100.0 * eps)
 
     # Kaiser normalization: scale rows to unit communality
     h = jnp.sqrt(jnp.sum((A * A.conj()).real, axis=1))
     An = A * (1.0 / h)[:, None].astype(dtype)
 
-    gamma_n = jnp.asarray(gamma / n, dtype=jnp.real(jnp.zeros((), dtype)).dtype)
+    gamma_n = jnp.asarray(gamma / n, dtype=real_dtype)
 
     def body(state):
         i, R, d, _ = state
@@ -82,7 +83,7 @@ def varimax(A, gamma=1.0, max_iter=1000, tol=1e-8, polar_method=None):
         return jnp.logical_and(i < max_iter, jnp.logical_or(i == 0, keep))
 
     R0 = jnp.eye(p, dtype=dtype)
-    zero = jnp.zeros((), jnp.real(jnp.zeros((), dtype)).dtype)
+    zero = jnp.zeros((), real_dtype)
     i, R, d, d_old = jax.lax.while_loop(cond, body, (0, R0, zero, zero))
 
     converged = jnp.abs(d - d_old) / jnp.where(d == 0, 1.0, d) < tol

@@ -72,31 +72,97 @@ def _seasonal_component(y, period):
     return sa, sm, usable_mul
 
 
-def _ses_fit(y, n_alphas=51):
-    """Batched SES fit: returns (alpha (p,), level l_T (p,)).
+def _ses_sweep(y, alphas):
+    """SSE-optimal SES over an alpha grid, initial level free.
 
-    Simple exponential smoothing with l0 = y[0]; alpha selected per column
-    by SSE over a fixed grid, evaluated in a single scan over time.
+    The level recursion is affine in the initial level:
+    ``level_t = p_t + h_t * l0`` with the particular response
+    ``p_t = (1-a) p_{t-1} + a y_t`` (from ``p_0 = 0``) and homogeneous
+    factor ``h_t = (1-a)^t``.  One-step-ahead residuals are then linear in
+    ``l0``, so the SSE-minimizing ``l0*`` per (alpha, column) is closed
+    form — a single scan yields the jointly optimized fit, matching a
+    per-series optimizer over (alpha, l0) up to the grid resolution.
+
+    Returns (sse (G, p), l_T (G, p)) at the optimal l0 of each grid point.
     """
-    T, p = y.shape
-    alphas = jnp.asarray(
-        np.linspace(0.02, 0.98, n_alphas), dtype=y.dtype
-    )                                                   # (G,)
-    l0 = jnp.broadcast_to(y[0][None, :], (n_alphas, p))
+    G = alphas.shape[0]
+    p = y.shape[1]
+    dtype = y.dtype
+    a = alphas[:, None]                                 # (G, 1)
 
     def step(carry, y_t):
-        level, sse = carry
-        err = y_t[None, :] - level
-        sse = sse + err * err
-        level = level + alphas[:, None] * err
-        return (level, sse), None
+        part, h, s_cc, s_hc, s_h2 = carry
+        c = y_t[None, :] - part                         # residual at l0=0
+        s_cc = s_cc + c * c
+        s_hc = s_hc + h * c
+        s_h2 = s_h2 + h * h
+        part = part + a * (y_t[None, :] - part)
+        h = (1.0 - a) * h
+        return (part, h, s_cc, s_hc, s_h2), None
 
-    (level, sse), _ = jax.lax.scan(
-        step, (l0, jnp.zeros((n_alphas, p), y.dtype)), y[1:]
+    init = (
+        jnp.zeros((G, p), dtype),                       # particular level
+        jnp.ones((G, 1), dtype),                        # homogeneous h_t
+        jnp.zeros((G, p), dtype),
+        jnp.zeros((G, p), dtype),
+        jnp.zeros((G, 1), dtype),
     )
+    (part, h, s_cc, s_hc, s_h2), _ = jax.lax.scan(step, init, y)
+    l0_opt = s_hc / s_h2
+    sse = s_cc - s_hc * s_hc / s_h2
+    l_T = part + h * l0_opt
+    return sse, l_T
+
+
+def _ses_fit(y, n_alphas=33, n_refine=17):
+    """Batched SES fit: returns (alpha (p,), level l_T (p,)).
+
+    Two-stage grid over the smoothing parameter (coarse sweep + one
+    refinement pass bracketing each column's best point), with the initial
+    level jointly optimized in closed form inside the scan — the batched
+    equivalent of statsmodels' per-series (alpha, l0) optimization.
+    """
+    T, p = y.shape
+    dtype = y.dtype
+    lo, hi = 0.02, 0.98
+    coarse = jnp.asarray(np.linspace(lo, hi, n_alphas), dtype=dtype)
+    sse, _ = _ses_sweep(y, coarse)
     best = jnp.argmin(sse, axis=0)                      # (p,)
-    alpha = alphas[best]
-    l_T = jnp.take_along_axis(level, best[None, :], axis=0)[0]
+    spacing = (hi - lo) / (n_alphas - 1)
+
+    # refinement: per-column grid centered on the coarse winner.  The
+    # sweep broadcasts one alpha row against all columns, so refine with
+    # per-column alphas by restructuring: alphas (R, p) via offsets.
+    center = coarse[best]                               # (p,)
+    offsets = jnp.asarray(
+        np.linspace(-spacing, spacing, n_refine), dtype=dtype
+    )
+    fine = jnp.clip(
+        center[None, :] + offsets[:, None], 1e-4, 1.0 - 1e-6
+    )                                                   # (R, p)
+
+    def step(carry, y_t):
+        part, h, s_cc, s_hc, s_h2 = carry
+        c = y_t[None, :] - part
+        s_cc = s_cc + c * c
+        s_hc = s_hc + h * c
+        s_h2 = s_h2 + h * h
+        part = part + fine * (y_t[None, :] - part)
+        h = (1.0 - fine) * h
+        return (part, h, s_cc, s_hc, s_h2), None
+
+    shape = (n_refine, p)
+    init = (jnp.zeros(shape, dtype), jnp.ones(shape, dtype),
+            jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+            jnp.zeros(shape, dtype))
+    (part, h, s_cc, s_hc, s_h2), _ = jax.lax.scan(step, init, y)
+    l0_opt = s_hc / s_h2
+    sse_f = s_cc - s_hc * s_hc / s_h2
+    l_T_f = part + h * l0_opt
+
+    best_f = jnp.argmin(sse_f, axis=0)                  # (p,)
+    alpha = jnp.take_along_axis(fine, best_f[None, :], axis=0)[0]
+    l_T = jnp.take_along_axis(l_T_f, best_f[None, :], axis=0)[0]
     return alpha, l_T
 
 

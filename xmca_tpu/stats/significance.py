@@ -26,8 +26,18 @@ from xmca_tpu.core import fastpath as _fast
 __all__ = ['rule_n_spectra', 'rule_north_uncertainty', 'bootstrap_spectra']
 
 
-def _auto_batch(n_runs, n_obs, n_vars_total, itemsize, target_bytes=2 << 30):
-    """Pick a surrogate batch size that keeps peak memory bounded."""
+def _auto_batch(n_runs, n_obs, n_vars_total, itemsize, target_bytes=2 << 30,
+                rotated=False, spectrum='exact'):
+    """Pick a surrogate batch size.
+
+    CPU / exact path: memory-bounded vmap batches.  TPU fast rotated path:
+    batch=1 — the varimax ``while_loop`` has a heavy-tailed iteration-count
+    distribution, so a batch pays the max iteration count of its members;
+    single-run dispatches pipeline best (measured in benchmarks/RESULTS.md).
+    """
+    if (rotated and spectrum == 'fast'
+            and jax.default_backend() == 'tpu'):
+        return 1
     per_run = max(1, n_obs * n_vars_total * itemsize * 8)
     return int(min(n_runs, max(1, target_bytes // per_run)))
 
@@ -61,14 +71,18 @@ def _ensemble_map(one_run, keys, batch_size, mesh=None, axis='ensemble',
         if mesh is not None:
             kb = jax.device_put(kb, sharding)
         res = fn(kb)
-        res = jax.tree_util.tree_map(np.asarray, res)
         if pad:
-            res = jax.tree_util.tree_map(lambda r: r[:r.shape[0] - pad], res)
+            res = jax.tree_util.tree_map(lambda r: r[:n_in_batch], res)
+        # keep results on device: a per-batch host transfer would block
+        # each dispatch on the previous batch's execution and kill the
+        # dispatch pipeline (critical for batch=1 TPU ensembles where the
+        # host->device roundtrip rivals the surrogate compute)
         outs.append(res)
         if progress is not None:
             progress(n_in_batch)
+    # one device-side concatenation + one host transfer per output leaf
     return jax.tree_util.tree_map(
-        lambda *rs: np.concatenate(rs, axis=0), *outs
+        lambda *rs: np.asarray(jnp.concatenate(rs, axis=0)), *outs
     )
 
 
@@ -84,7 +98,13 @@ def _surrogate_variance(fields, complexify, rotated, n_rot, power, tol,
     Newton-Schulz nuclear norm in fast mode, so rescaling stays exact even
     though only the leading modes are materialized).
     """
-    fields = [f - jnp.mean(f, axis=0) for f in fields]
+    # center; bfloat16 surrogates accumulate the mean in float32 (a bf16
+    # accumulation over thousands of steps loses the mean entirely)
+    fields = [
+        f - jnp.mean(f, axis=0, dtype=jnp.float32).astype(f.dtype)
+        if f.dtype == jnp.bfloat16 else f - jnp.mean(f, axis=0)
+        for f in fields
+    ]
     bivariate = len(fields) == 2
     if (spectrum == 'fast' and complexify and hilbert_H is not None
             and not jnp.iscomplexobj(fields[0])):
@@ -157,13 +177,17 @@ def rule_n_spectra(n_obs, n_vars, n_runs, *, complexify=False, rotated=False,
     if batch_size is None:
         batch_size = _auto_batch(
             n_runs, n_obs, sum(n_vars), dtype.itemsize * (2 if complexify
-                                                          else 1)
+                                                          else 1),
+            rotated=rotated, spectrum=spectrum,
         )
 
     hilbert_H = None
     if spectrum == 'fast' and complexify:
+        # the Hilbert operator stays float32 for bfloat16 draws: H feeds
+        # the n x n Gram algebra, which always runs in f32
+        h_dtype = np.float32 if dtype == jnp.bfloat16 else dtype
         hilbert_H = jnp.asarray(
-            _fast.hilbert_imag_matrix(n_obs, dtype)
+            _fast.hilbert_imag_matrix(n_obs, h_dtype)
         )
 
     def one_run(key):
@@ -269,7 +293,8 @@ def bootstrap_spectra(fields, n_runs, n_out_modes, *, axis=0, on_left=True,
     if batch_size is None:
         batch_size = _auto_batch(
             n_runs, n_obs, sum(int(f.shape[1]) for f in fields),
-            dtype.itemsize * (2 if complexify else 1)
+            dtype.itemsize * (2 if complexify else 1),
+            rotated=rotated, spectrum=spectrum,
         )
 
     def resample(key, fs):

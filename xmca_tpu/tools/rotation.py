@@ -10,6 +10,7 @@ import jax.numpy as jnp
 
 from xmca_tpu.core import rotation as _core
 from xmca_tpu.utils.transfer import to_numpy as _to_np
+from xmca_tpu.utils.transfer import to_device as _to_dev
 
 _NON_CONVERGENCE_MSG = (
     'Rotation process did not converge. Try decreasing the tolerance. '
@@ -23,7 +24,7 @@ def varimax(A, gamma=1, maxIter=1000, tol=1e-8):
     Returns (B, R): the rotated matrix and the rotation matrix.
     """
     B, R, converged, _ = _core.varimax(
-        jnp.asarray(A), gamma=gamma, max_iter=int(maxIter), tol=tol
+        _to_dev(A), gamma=gamma, max_iter=int(maxIter), tol=tol
     )
     if not bool(converged):
         raise RuntimeError(_NON_CONVERGENCE_MSG)
@@ -47,7 +48,7 @@ def promax(A, power=1, maxIter=1000, tol=1e-8):
         return A, np.eye(n), A.conjugate().T @ A
 
     B, R, phi, converged, _ = _core.promax(
-        jnp.asarray(A), power=int(power), max_iter=int(maxIter), tol=tol
+        _to_dev(A), power=int(power), max_iter=int(maxIter), tol=tol
     )
     if not bool(converged):
         raise RuntimeError(_NON_CONVERGENCE_MSG)

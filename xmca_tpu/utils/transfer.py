@@ -1,13 +1,18 @@
-"""Device-to-host materialization helpers.
+"""Host<->device materialization helpers.
 
 Some TPU transport backends (e.g. the axon tunnel) cannot transfer complex
-arrays device->host (UNIMPLEMENTED) — and, worse, the *failed attempt*
-poisons the runtime so that subsequent real-part extractions on the same
-array fail too.  Complex arrays are therefore ALWAYS materialized through
-an eager real/imag split (two real transfers + host combine); direct
-transfer is never attempted on complex dtypes.  Overhead on healthy
-backends is one extra host-side combine — negligible next to the transfer
-itself.
+arrays across the host<->device boundary IN EITHER DIRECTION
+(UNIMPLEMENTED) — and, worse, a *failed attempt* poisons the runtime so
+that subsequent ops (including fresh compilations) fail too.  Complex
+arrays are therefore ALWAYS moved through an eager real/imag split:
+
+* device -> host (:func:`to_numpy`): two real transfers + host combine;
+* host -> device (:func:`to_device`): two real transfers + one on-device
+  combine (``re + 1j * im`` — eager complex *arithmetic* on device is
+  fully supported; only the transport of complex buffers is not).
+
+Overhead on healthy backends is one extra combine — negligible next to
+the transfer itself.
 """
 import numpy as np
 
@@ -22,3 +27,23 @@ def to_numpy(x):
     if is_jax and jnp.iscomplexobj(x):
         return np.asarray(jnp.real(x)) + 1j * np.asarray(jnp.imag(x))
     return np.asarray(x)
+
+
+def to_device(x):
+    """Place a host array on device, complex-safe on all backends.
+
+    Complex inputs are uploaded as two real transfers and recombined on
+    device; jitted functions then receive an already-device-resident
+    complex array and no complex transport ever happens.
+    """
+    import jax
+    import jax.numpy as jnp
+    if hasattr(x, 'devices'):          # already a jax array
+        return x
+    x = np.asarray(x)
+    if np.iscomplexobj(x):
+        re = jnp.asarray(np.ascontiguousarray(x.real))
+        im = jnp.asarray(np.ascontiguousarray(x.imag))
+        return jax.lax.complex(re, im)     # no complex constant, no
+        # complex transport: combine happens entirely on device
+    return jnp.asarray(x)
