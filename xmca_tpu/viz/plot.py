@@ -1,395 +1,427 @@
 """Host-side matplotlib visualization of MCA results.
 
-Behavioral port of the reference's plotting (``MCA.plot``
-xmca/array.py:1430-1574; ``xMCA.plot`` xmca/xarray.py:989-1237).  Runs
-entirely on host over NumPy copies of device results.  Cartopy map
-projections are used when cartopy is installed; otherwise geographic panels
-fall back to plain lat/lon axes (this image has no cartopy).
+Provides the same *visual contract* as the reference's plotting
+(``MCA.plot`` xmca/array.py:1430-1574, ``xMCA.plot``
+xmca/xarray.py:989-1237): per-mode figures with a PC column, an
+EOF/Amplitude map column, and — for complex solutions — a Phase column,
+with shared colorbars, threshold masking, and cartopy map projections in
+the labeled-array variant.  The implementation is organized around panel
+descriptors rather than the reference's inline drawing flow: data
+extraction (:func:`_mode_content`), grid placement (:func:`_plan_grid`),
+and rendering (:class:`_MapCanvas`, :func:`_draw_series`) are independent
+stages, so the imshow and cartopy variants share everything but the
+canvas.
+
+Cartopy is optional: when it is importable the map panels are real
+``GeoAxes`` with coastlines/land features; otherwise the same fields are
+drawn on plain axes in data coordinates.
 """
 import numpy as np
 
 from xmca_tpu.utils.text import boldify_str
 
 
+# --------------------------------------------------------------- content
+
+def _bold(text):
+    return boldify_str(str(text).replace('_', ' '))
+
+
+def _mode_content(model, mode, threshold, phase_shift):
+    """Everything a mode figure shows, as plain arrays keyed by field.
+
+    Complex solutions display amplitude + phase; real ones the raw EOF.
+    Threshold masking hides map cells whose (amplitude) magnitude falls
+    below ``threshold`` — phase panels inherit the same mask so the two
+    map columns stay consistent (reference semantics).
+    """
+    is_complex = model._analysis['is_complex']
+    content = {
+        'series': model.pcs(mode, scaling='max', phase_shift=phase_shift),
+        'phase': model.spatial_phase(mode, phase_shift=phase_shift),
+        'explained': float(
+            np.ravel(np.asarray(model.explained_variance(mode)))[-1]
+        ),
+        'is_complex': is_complex,
+        'map_kind': 'Amplitude' if is_complex else 'EOF',
+        'map_range': (0, 1) if is_complex else (-1, 1),
+    }
+    if is_complex:
+        content['maps'] = model.spatial_amplitude(mode, scaling='max')
+    else:
+        content['maps'] = model.eofs(mode, scaling='max')
+
+    for key in content['series']:
+        content['series'][key] = _last_mode(content['series'][key]).real
+        field = _last_mode(content['maps'][key])
+        phase = _last_mode(content['phase'][key])
+        visible = np.abs(field) >= threshold
+        content['maps'][key] = np.where(visible, field, np.nan)
+        content['phase'][key] = np.where(visible, phase, np.nan)
+    return content
+
+
+def _last_mode(arr):
+    """Slice the trailing mode axis of an (ndarray or DataArray) result."""
+    return np.asarray(arr)[..., -1]
+
+
+_CMAP_DEFAULTS = {
+    'EOF': 'RdBu_r',
+    'Amplitude': 'Blues',
+    'Phase': 'twilight',
+}
+_PHASE_TICKS = ([-np.pi, 0, np.pi], [r'-$\pi$', '0', r'$\pi$'])
+
+
+# ---------------------------------------------------------------- layout
+
+def _plan_grid(n_fields, with_phase, orientation='horizontal'):
+    """Grid-cell assignment for every panel of the figure.
+
+    Returns (n_rows, n_cols, height_ratios, width_ratios, cells) where
+    ``cells`` maps (column_kind, field_index_or_'cbar') -> (row, col).
+    Column kinds: 'series', 'map', 'phase'.
+    """
+    kinds = ['series', 'map'] + (['phase'] if with_phase else [])
+    if orientation == 'horizontal':
+        n_rows, n_cols = n_fields + 1, len(kinds)
+        heights = [1.0] * n_fields + [0.05]
+        widths = [1.0] * n_cols
+        cells = {}
+        for col, kind in enumerate(kinds):
+            for i in range(n_fields):
+                cells[kind, i] = (i, col)
+            if kind != 'series':
+                cells[kind, 'cbar'] = (n_fields, col)
+        return n_rows, n_cols, heights, widths, cells
+    if orientation == 'vertical':
+        # maps stacked in rows, colorbars in a slim leading column,
+        # PC panels in the bottom row (reference vertical layout)
+        n_rows, n_cols = len(kinds), n_fields + 1
+        heights = [1.0] * n_rows
+        widths = [0.05] + [1.0] * n_fields
+        cells = {}
+        row_of = {'map': 0, 'phase': 1, 'series': len(kinds) - 1}
+        for kind in kinds:
+            row = row_of[kind]
+            for i in range(n_fields):
+                cells[kind, i] = (row, i + 1)
+            if kind != 'series':
+                cells[kind, 'cbar'] = (row, 0)
+        return n_rows, n_cols, heights, widths, cells
+    raise ValueError("orientation must be 'horizontal' or 'vertical'")
+
+
+# --------------------------------------------------------------- drawing
+
+def _draw_series(ax, values, label):
+    ax.plot(np.arange(len(values)), values)
+    ax.set_ylim(-1.2, 1.2)
+    ax.set_yticks([-1, 0, 1])
+    ax.set_ylabel(label, fontweight='bold')
+    ax.set_xlabel('')
+    ax.set_title('')
+    for side in ('right', 'top'):
+        ax.spines[side].set_visible(False)
+
+
+def _lonlat_extent(lon, lat, central_longitude=0):
+    """[east, west, south, north] with longitudes wrapped to -180..179.
+
+    Behavior of the reference's extent helper
+    (xmca/tools/xarray.py:34-69).
+    """
+    wrapped = np.sort(((np.asarray(lon) + 180) % 360) - 180)
+    return [
+        float(wrapped.min()) + central_longitude + 0.001,
+        float(wrapped.max()) + central_longitude - 0.001,
+        float(np.min(lat)), float(np.max(lat)),
+    ]
+
+
+class _MapCanvas:
+    """Map-panel factory: cartopy GeoAxes when available, plain otherwise.
+
+    Centralizes every cartopy touchpoint so the rest of the module is
+    projection-agnostic.
+    """
+
+    def __init__(self, projections=None, resolution='110m', land=True):
+        try:
+            import cartopy.crs as _ccrs
+            import cartopy.feature as _cfeature
+        except ImportError:
+            _ccrs = _cfeature = None
+        self._ccrs = _ccrs
+        self._cfeature = _cfeature
+        self.resolution = resolution
+        self.land = land
+        self._projections = projections or {}
+
+    @property
+    def active(self):
+        return self._ccrs is not None
+
+    def projection_for(self, key):
+        if not self.active:
+            return None
+        default = self._ccrs.PlateCarree()
+        spec = self._projections
+        try:
+            return spec.get(key, default)
+        except AttributeError:
+            # a single projection object applies to all fields
+            return spec if spec is not None else default
+
+    def data_crs(self):
+        return self._ccrs.PlateCarree() if self.active else None
+
+    def add_axes(self, fig, gridspec_cell, key):
+        proj = self.projection_for(key)
+        if proj is None:
+            return fig.add_subplot(gridspec_cell)
+        return fig.add_subplot(gridspec_cell, projection=proj)
+
+    def paint(self, ax, key, lon, lat, values, cmap, vmin, vmax):
+        extra = {}
+        if self.active:
+            extra['transform'] = self.data_crs()
+        mesh = ax.pcolormesh(
+            lon, lat, values, cmap=cmap, vmin=vmin, vmax=vmax, **extra
+        )
+        if self.active:
+            lon0 = self.projection_for(key).proj4_params.get('lon_0', 0)
+            ax.set_extent(
+                _lonlat_extent(lon, lat, lon0), crs=self.data_crs()
+            )
+            if self.resolution in ('110m', '50m', '10m'):
+                ax.coastlines(lw=.4, resolution=self.resolution)
+            if self.land:
+                ax.add_feature(
+                    self._cfeature.LAND, color='#808080', zorder=0
+                )
+        ax.set_title('')
+        ax.set_aspect('auto')
+        return mesh
+
+
+# ------------------------------------------------------- ndarray variant
+
 def plot_mca_mode(model, mode, threshold=0, phase_shift=0, cmap_eof=None,
                   cmap_phase=None, figsize=(8.3, 5.0)):
-    """imshow-panel plot of `mode` for the ndarray API (reference
-    xmca/array.py:1430-1574)."""
+    """imshow-panel figure of `mode` for the ndarray API.
+
+    Visual contract of reference ``MCA.plot`` (xmca/array.py:1430-1574).
+    """
     import matplotlib.pyplot as plt
 
-    pcs = model.pcs(mode, scaling='max', phase_shift=phase_shift)
-    eofs = model.eofs(mode, scaling='max')
-    phases = model.spatial_phase(mode, phase_shift=phase_shift)
-    var = model.explained_variance(mode)[-1]
-
-    n_cols = 2
-    n_rows = len(pcs)
-    height_ratios = [1] * n_rows
-    n_rows += 1
-    height_ratios.append(0.05)
-
-    eof_title = 'EOF'
-    cmap_eof_range = [-1, 0, 1]
-
-    is_complex = model._analysis['is_complex']
-    if is_complex:
-        n_cols += 1
-        eofs = model.spatial_amplitude(mode, scaling='max')
-        eof_title = 'Amplitude'
-        cmap_eof_range = [0, 1]
-        cmap_eof = 'Blues' if cmap_eof is None else cmap_eof
-        cmap_phase = 'twilight' if cmap_phase is None else cmap_phase
-    else:
-        cmap_eof = 'RdBu_r' if cmap_eof is None else cmap_eof
-
-    for key in pcs.keys():
-        pcs[key] = pcs[key][:, -1].real
-        eofs[key] = eofs[key][..., -1]
-        phases[key] = phases[key][..., -1]
-        eofs[key] = np.where(
-            abs(eofs[key]) >= threshold, eofs[key], np.nan
-        )
-        phases[key] = np.where(
-            abs(eofs[key]) >= threshold, phases[key], np.nan
-        )
-
-    titles = {
-        'pc': r'PC {:d} ({:.1f} %)'.format(mode, var),
-        'eof': eof_title,
-        'phase': 'Phase',
-        'var1': model._field_names['left'],
+    content = _mode_content(model, mode, threshold, phase_shift)
+    field_keys = list(content['series'])
+    names = [_bold(model._field_names[k]) for k in field_keys]
+    kind = content['map_kind']
+    vmin, vmax = content['map_range']
+    cmaps = {
+        'map': cmap_eof or _CMAP_DEFAULTS[kind],
+        'phase': cmap_phase or _CMAP_DEFAULTS['Phase'],
     }
-    if 'right' in model._keys:
-        titles['var2'] = model._field_names['right']
-    titles = {k: boldify_str(v.replace('_', ' '))
-              for k, v in titles.items()}
 
+    n_rows, n_cols, heights, _, cells = _plan_grid(
+        len(field_keys), content['is_complex'], 'horizontal'
+    )
     fig = plt.figure(figsize=figsize, dpi=150)
     fig.subplots_adjust(hspace=0.1, wspace=.1, left=0.25)
-    gs = fig.add_gridspec(n_rows, n_cols, height_ratios=height_ratios)
-    axes_pc = [fig.add_subplot(gs[i, 0]) for i in range(n_rows - 1)]
-    axes_eof = [fig.add_subplot(gs[i, 1]) for i in range(n_rows - 1)]
-    cbax_eof = fig.add_subplot(gs[-1, 1])
+    gs = fig.add_gridspec(n_rows, n_cols, height_ratios=heights)
 
-    axes_space = list(axes_eof)
-    var_names = [titles['var1']]
-    if 'right' in model._keys:
-        var_names.append(titles['var2'])
+    def _as_image(arr):
+        return arr if arr.ndim == 2 else arr[np.newaxis, :]
 
-    for i, pc in enumerate(pcs.values()):
-        axes_pc[i].plot(pc)
-        axes_pc[i].set_ylim(-1.2, 1.2)
-        axes_pc[i].set_xlabel('')
-        axes_pc[i].set_ylabel(var_names[i], fontweight='bold')
-        axes_pc[i].set_title('')
-        axes_pc[i].set_yticks([-1, 0, 1])
-        axes_pc[i].spines['right'].set_visible(False)
-        axes_pc[i].spines['top'].set_visible(False)
+    series_axes = []
+    for i, key in enumerate(field_keys):
+        ax = fig.add_subplot(gs[cells['series', i]])
+        _draw_series(ax, content['series'][key], names[i])
+        series_axes.append(ax)
 
-    axes_pc[0].xaxis.set_visible(False)
-    axes_pc[0].set_title(titles['pc'], fontweight='bold')
-
-    for i, eof in enumerate(eofs.values()):
-        # 1-D spatial fields still render as an image strip
-        img = eof if eof.ndim == 2 else eof[np.newaxis, :]
-        cb_eof = axes_eof[i].imshow(
-            img.real, origin='lower', vmin=cmap_eof_range[0],
-            vmax=cmap_eof_range[-1], cmap=cmap_eof,
+        ax = fig.add_subplot(gs[cells['map', i]])
+        mesh = ax.imshow(
+            _as_image(content['maps'][key]).real, origin='lower',
+            vmin=vmin, vmax=vmax, cmap=cmaps['map'],
         )
-        axes_eof[i].set_title('')
+        ax.set_aspect('auto')
+        ax.xaxis.set_visible(False)
+        ax.yaxis.set_visible(False)
+        if i == 0:
+            ax.set_title(_bold(kind), fontweight='bold')
 
-    plt.colorbar(cb_eof, cax=cbax_eof, orientation='horizontal')
-    cbax_eof.xaxis.set_ticks(cmap_eof_range)
-    axes_eof[0].set_title(titles['eof'], fontweight='bold')
-
-    if is_complex:
-        axes_phase = [fig.add_subplot(gs[i, 2]) for i in range(n_rows - 1)]
-        cbax_phase = fig.add_subplot(gs[-1, 2])
-        for i, phase in enumerate(phases.values()):
-            img = phase if phase.ndim == 2 else phase[np.newaxis, :]
-            cb_phase = axes_phase[i].imshow(
-                img, origin='lower', vmin=-np.pi, vmax=np.pi,
-                cmap=cmap_phase,
+        if content['is_complex']:
+            ax = fig.add_subplot(gs[cells['phase', i]])
+            phase_mesh = ax.imshow(
+                _as_image(content['phase'][key]), origin='lower',
+                vmin=-np.pi, vmax=np.pi, cmap=cmaps['phase'],
             )
-            axes_phase[i].set_title('')
-        plt.colorbar(cb_phase, cax=cbax_phase, orientation='horizontal')
-        cbax_phase.xaxis.set_ticks([-3.14, 0, 3.14])
-        cbax_phase.set_xticklabels([r'-$\pi$', '0', r'$\pi$'])
-        axes_space.extend(axes_phase)
-        axes_phase[0].set_title(titles['phase'], fontweight='bold')
+            ax.set_aspect('auto')
+            ax.xaxis.set_visible(False)
+            ax.yaxis.set_visible(False)
+            if i == 0:
+                ax.set_title(_bold('Phase'), fontweight='bold')
 
-    for a in axes_space:
-        a.set_aspect('auto')
-        a.xaxis.set_visible(False)
-        a.yaxis.set_visible(False)
+    cax = fig.add_subplot(gs[cells['map', 'cbar']])
+    plt.colorbar(mesh, cax=cax, orientation='horizontal')
+    cax.xaxis.set_ticks([vmin, vmax] if content['is_complex']
+                        else [vmin, 0, vmax])
+    if content['is_complex']:
+        cax = fig.add_subplot(gs[cells['phase', 'cbar']])
+        plt.colorbar(phase_mesh, cax=cax, orientation='horizontal')
+        cax.xaxis.set_ticks([-3.14, 0, 3.14])
+        cax.set_xticklabels(_PHASE_TICKS[1])
 
-    if len(pcs) == 2:
-        axes_pc[0].xaxis.set_visible(False)
-        axes_pc[0].spines['bottom'].set_visible(False)
+    title = r'PC {:d} ({:.1f} %)'.format(mode, content['explained'])
+    series_axes[0].set_title(_bold(title), fontweight='bold')
+    series_axes[0].xaxis.set_visible(False)
+    if len(series_axes) == 2:
+        series_axes[0].spines['bottom'].set_visible(False)
 
 
-def _get_extent(lon, lat, central_longitude=0):
-    """Map extent [east, west, south, north] with lon wrapped to -180..179.
+# -------------------------------------------------- labeled-array variant
 
-    Parity with reference xmca/tools/xarray.py:34-69.
-    """
-    lon = np.sort(((np.asarray(lon) + 180) % 360) - 180)
-    east = lon.min() + central_longitude + 0.001
-    west = lon.max() + central_longitude - 0.001
-    return [east, west, float(np.min(lat)), float(np.max(lat))]
+def _panel_grid_coords(da):
+    """(values, lon, lat) of a 2-D labeled map panel."""
+    values = np.asarray(da)
+    coords = getattr(da, 'coords', {})
+    lon = (np.asarray(coords['lon']) if 'lon' in coords
+           else np.arange(values.shape[-1]))
+    lat = (np.asarray(coords['lat']) if 'lat' in coords
+           else np.arange(values.shape[0]))
+    return values, lon, lat
 
 
 def plot_xmca_mode(model, mode, threshold=0, phase_shift=0, cmap_eof=None,
                    cmap_phase=None, figsize=(8.3, 5.0), resolution='110m',
                    projection=None, orientation='horizontal', land=True):
-    """Cartopy/matplotlib map plot of `mode` for the labeled-array API.
+    """Cartopy map figure of `mode` for the labeled-array API.
 
-    Reference behavior: xmca/xarray.py:989-1237.  When cartopy is missing
-    the maps are drawn on plain axes in data coordinates (no coastlines).
-    Returns (fig, axes-dict) like the reference.
+    Visual contract of reference ``xMCA.plot`` (xmca/xarray.py:989-1237);
+    returns (fig, axes) with axes keyed [panel_kind][field_key].
     """
     import matplotlib.pyplot as plt
-    try:
-        import cartopy.crs as ccrs
-        import cartopy.feature as cfeature
-        has_cartopy = True
-    except ImportError:
-        ccrs = cfeature = None
-        has_cartopy = False
 
     analysis = model._analysis
     is_complex = analysis['is_complex']
-    bivariate = analysis['is_bivariate']
 
-    var = float(
+    explained = float(
         np.asarray(model.explained_variance(mode).sel(mode=mode))
     )
-    pcs = model.pcs(mode, scaling='max', phase_shift=phase_shift)
-    eofs = model.eofs(mode, scaling='max')
+    series = model.pcs(mode, scaling='max', phase_shift=phase_shift)
     phases = model.spatial_phase(mode, phase_shift=phase_shift)
-    if is_complex:
-        eofs = model.spatial_amplitude(mode, scaling='max')
+    maps = (model.spatial_amplitude(mode, scaling='max') if is_complex
+            else model.eofs(mode, scaling='max'))
 
-    ticks = {
-        'pc': [-1, 0, 1],
-        'eof': [0, 1] if is_complex else [-1, 0, 1],
-        'phase': [-np.pi, 0, np.pi],
-    }
-    tick_labels = {'phase': [r'-$\pi$', '0', r'$\pi$']}
+    field_keys = list(series)
+    kind = 'Amplitude' if is_complex else 'EOF'
+    vmin, vmax = (0, 1) if is_complex else (-1, 1)
+    map_ticks = [vmin, vmax] if is_complex else [vmin, 0, vmax]
     cmaps = {
-        'eof': 'Blues' if is_complex else 'RdBu_r',
-        'phase': 'twilight',
+        'map': cmap_eof or _CMAP_DEFAULTS[kind],
+        'phase': cmap_phase or _CMAP_DEFAULTS['Phase'],
     }
-    if cmap_eof is not None:
-        cmaps['eof'] = cmap_eof
-    if cmap_phase is not None:
-        cmaps['phase'] = cmap_phase
 
-    titles = {
-        'pc': 'PC',
-        'eof': 'Amplitude' if is_complex else 'EOF',
-        'phase': 'Phase',
-        'mode': 'Mode {:d} ({:.1f} %)'.format(mode, var),
-    }
-    for key, name in model._field_names.items():
-        titles[key] = name
-    titles = {k: boldify_str(str(v).replace('_', ' '))
-              for k, v in titles.items()}
-
-    # projections
-    proj = {}
-    if has_cartopy:
-        proj = {'left': ccrs.PlateCarree(), 'right': ccrs.PlateCarree()}
-        if projection is not None:
-            try:
-                proj.update(projection)
-            except TypeError:
-                proj = {k: projection for k in proj}
-        data_projection = ccrs.PlateCarree()
-    else:
-        proj = {'left': None, 'right': None}
-        data_projection = None
-
-    # layout (reference _create_gridspec, xmca/xarray.py:894-987)
-    n_rows = 2 if bivariate else 1
-    n_cols = 3 if is_complex else 2
-    height_ratios = [1] * n_rows
-    width_ratios = [1] * n_cols
-    n_rows += 1
-    height_ratios.append(0.05)
-
-    if orientation == 'horizontal':
-        grid = {'pc': {'left': [0, 0]}, 'eof': {'left': [0, 1]}}
-        if is_complex:
-            grid['phase'] = {'left': [0, 2]}
-        if bivariate:
-            for k, panel in grid.items():
-                yx = panel['left']
-                grid[k]['right'] = [yx[0] + 1, yx[1]]
-        for k, panel in grid.items():
-            if k in ['eof', 'phase']:
-                grid[k]['cb'] = [len(panel), panel['left'][1]]
-    elif orientation == 'vertical':
-        grid = {'pc': {'left': [-1, 1]}, 'eof': {'left': [0, 1]}}
-        if is_complex:
-            grid['phase'] = {'left': [1, 1]}
-        if bivariate:
-            for k, panel in grid.items():
-                yx = panel['left']
-                grid[k]['right'] = [yx[0], yx[1] + 1]
-        for k, panel in grid.items():
-            if k in ['eof', 'phase']:
-                row, col = panel['left']
-                grid[k]['cb'] = [row, col - 1]
-        n_rows, n_cols = n_cols, n_rows
-        height_ratios = n_rows * [1]
-        width_ratios = n_cols * [1]
-        width_ratios[0] = 0.05
-    else:
-        raise ValueError(
-            "orientation must be 'horizontal' or 'vertical'"
-        )
-
+    canvas = _MapCanvas(projection, resolution=resolution, land=land)
+    n_rows, n_cols, heights, widths, cells = _plan_grid(
+        len(field_keys), is_complex, orientation
+    )
     fig = plt.figure(figsize=figsize, dpi=150)
     gs = fig.add_gridspec(
-        n_rows, n_cols,
-        height_ratios=height_ratios, width_ratios=width_ratios,
+        n_rows, n_cols, height_ratios=heights, width_ratios=widths
     )
-    axes = {}
-    for key_data, panel in grid.items():
-        axes[key_data] = {}
-        for key_pos, pos in panel.items():
-            use_proj = None
-            if key_data in ('eof', 'phase') and key_pos in ('left', 'right'):
-                use_proj = proj.get(key_pos)
-            if use_proj is not None:
-                axes[key_data][key_pos] = fig.add_subplot(
-                    gs[pos[0], pos[1]], projection=use_proj
-                )
-            else:
-                axes[key_data][key_pos] = fig.add_subplot(
-                    gs[pos[0], pos[1]]
-                )
 
-    def _panel_data(da):
-        vals = np.asarray(da)
-        lon = np.asarray(da.coords['lon']) if 'lon' in da.coords else \
-            np.arange(vals.shape[-1])
-        lat = np.asarray(da.coords['lat']) if 'lat' in da.coords else \
-            np.arange(vals.shape[0])
-        return vals, lon, lat
+    # axes dict shaped like the reference's return value
+    axes = {'pc': {}, 'eof': {}}
+    if is_complex:
+        axes['phase'] = {}
+    panel_of = {'series': 'pc', 'map': 'eof', 'phase': 'phase'}
 
-    for i, key in enumerate(pcs.keys()):
-        pc = pcs[key].sel(mode=mode).real
-        eof = eofs[key].sel(mode=mode)
+    meshes = {}
+    for i, key in enumerate(field_keys):
+        pc = np.asarray(series[key].sel(mode=mode)).real
+        field = maps[key].sel(mode=mode)
         phase = phases[key].sel(mode=mode)
+        visible = abs(field) >= threshold
+        field = field.where(visible)
+        phase = phase.where(visible)
 
-        eof = eof.where(abs(eof) >= threshold)
-        phase = phase.where(abs(eof) >= threshold)
+        ax = fig.add_subplot(gs[cells['series', i]])
+        _draw_series(ax, pc, _bold(model._field_names[key]))
+        axes['pc'][key] = ax
 
-        ax = axes['pc'][key]
-        ax.plot(np.arange(len(pc)), np.asarray(pc))
-        ax.set_ylim(-1.2, 1.2)
-        ax.set_yticks([-1, 0, 1])
-        ax.set_ylabel(titles[key], fontweight='bold')
-        ax.set_xlabel('')
-        ax.set_title('')
-        ax.spines['right'].set_visible(False)
-        ax.spines['top'].set_visible(False)
-
-        vals, lon, lat = _panel_data(eof)
-        ax = axes['eof'][key]
-        pm_kwargs = dict(
-            vmin=ticks['eof'][0], vmax=ticks['eof'][-1], cmap=cmaps['eof']
+        values, lon, lat = _panel_grid_coords(field)
+        ax = canvas.add_axes(fig, gs[cells['map', i]], key)
+        meshes['map'] = canvas.paint(
+            ax, key, lon, lat, np.real(values), cmaps['map'], vmin, vmax
         )
-        if has_cartopy:
-            pm_kwargs['transform'] = data_projection
-        cb_eof = ax.pcolormesh(lon, lat, np.real(vals), **pm_kwargs)
-        if has_cartopy:
-            c_lon = proj[key].proj4_params.get('lon_0', 0)
-            ax.set_extent(
-                _get_extent(lon, lat, c_lon), crs=data_projection
-            )
-            if resolution in ['110m', '50m', '10m']:
-                ax.coastlines(lw=.4, resolution=resolution)
-            if land:
-                ax.add_feature(
-                    cfeature.LAND, color='#808080', zorder=0
-                )
-        ax.set_title('')
-        ax.set_aspect('auto')
-
-        plt.colorbar(
-            cb_eof, cax=axes['eof']['cb'], orientation=orientation
-        )
-        if orientation == 'horizontal':
-            axes['eof']['cb'].xaxis.set_ticks(ticks['eof'])
-        else:
-            axes['eof']['cb'].yaxis.set_ticks(ticks['eof'])
+        axes['eof'][key] = ax
 
         if is_complex:
-            vals, lon, lat = _panel_data(phase)
-            ax = axes['phase'][key]
-            pm_kwargs = dict(
-                vmin=ticks['phase'][0], vmax=ticks['phase'][-1],
-                cmap=cmaps['phase'],
+            values, lon, lat = _panel_grid_coords(phase)
+            ax = canvas.add_axes(fig, gs[cells['phase', i]], key)
+            meshes['phase'] = canvas.paint(
+                ax, key, lon, lat, np.real(values), cmaps['phase'],
+                -np.pi, np.pi,
             )
-            if has_cartopy:
-                pm_kwargs['transform'] = data_projection
-            cb_phase = ax.pcolormesh(lon, lat, np.real(vals), **pm_kwargs)
-            if has_cartopy:
-                c_lon = proj[key].proj4_params.get('lon_0', 0)
-                ax.set_extent(
-                    _get_extent(lon, lat, c_lon), crs=data_projection
-                )
-                if resolution in ['110m', '50m', '10m']:
-                    ax.coastlines(lw=.4, resolution=resolution)
-                if land:
-                    ax.add_feature(
-                        cfeature.LAND, color='#808080', zorder=0
-                    )
-            ax.set_title('')
-            ax.set_aspect('auto')
-            plt.colorbar(
-                cb_phase, cax=axes['phase']['cb'], orientation=orientation
-            )
+            axes['phase'][key] = ax
+
+    cbar_orientation = orientation
+    for grid_kind, ticks, labels in [
+        ('map', map_ticks, None),
+        ('phase', *_PHASE_TICKS) if is_complex else (None, None, None),
+    ]:
+        if grid_kind is None:
+            continue
+        cax = fig.add_subplot(gs[cells[grid_kind, 'cbar']])
+        plt.colorbar(meshes[grid_kind], cax=cax,
+                     orientation=cbar_orientation)
+        tick_axis = cax.xaxis if orientation == 'horizontal' else cax.yaxis
+        tick_axis.set_ticks(ticks)
+        if labels is not None:
             if orientation == 'horizontal':
-                axes['phase']['cb'].xaxis.set_ticks(ticks['phase'])
-                axes['phase']['cb'].set_xticklabels(tick_labels['phase'])
+                cax.set_xticklabels(labels)
             else:
-                axes['phase']['cb'].yaxis.set_ticks(ticks['phase'])
-                axes['phase']['cb'].set_yticklabels(tick_labels['phase'])
-            axes['phase']['left'].set_title(
-                titles['phase'], fontweight='bold'
-            )
+                cax.set_yticklabels(labels)
+        axes[panel_of[grid_kind]]['cb'] = cax
 
+    # titles / spine cosmetics per orientation
+    first = field_keys[0]
     if orientation == 'horizontal':
-        axes['pc']['left'].set_title(titles['pc'], fontweight='bold')
-        axes['eof']['left'].set_title(titles['eof'], fontweight='bold')
-        if bivariate:
-            axes['pc']['left'].xaxis.set_visible(False)
-            axes['pc']['left'].spines['bottom'].set_visible(False)
-    else:
-        axes['pc']['left'].set_ylabel(titles['pc'], fontweight='bold')
-        axes['pc']['left'].set_title('')
-        axes['eof']['left'].set_title(titles['left'], fontweight='bold')
-        axes['eof']['cb'].set_ylabel(titles['eof'], fontweight='bold')
-        axes['eof']['cb'].yaxis.set_label_position('left')
-        axes['eof']['cb'].yaxis.set_ticks_position('left')
-        if bivariate:
-            axes['pc']['right'].yaxis.set_visible(False)
-            axes['pc']['right'].spines['left'].set_visible(False)
-            axes['eof']['right'].set_title(
-                titles['right'], fontweight='bold'
-            )
+        axes['pc'][first].set_title(_bold('PC'), fontweight='bold')
+        axes['eof'][first].set_title(_bold(kind), fontweight='bold')
         if is_complex:
-            axes['phase']['cb'].set_ylabel(
-                titles['phase'], fontweight='bold'
-            )
-            axes['phase']['left'].set_title('')
-            axes['phase']['cb'].yaxis.set_label_position('left')
-            axes['phase']['cb'].yaxis.set_ticks_position('left')
+            axes['phase'][first].set_title(_bold('Phase'),
+                                           fontweight='bold')
+        if len(field_keys) == 2:
+            axes['pc'][first].xaxis.set_visible(False)
+            axes['pc'][first].spines['bottom'].set_visible(False)
+    else:
+        axes['pc'][first].set_ylabel(_bold('PC'), fontweight='bold')
+        axes['eof'][first].set_title(
+            _bold(model._field_names[first]), fontweight='bold')
+        cax = axes['eof']['cb']
+        cax.set_ylabel(_bold(kind), fontweight='bold')
+        cax.yaxis.set_label_position('left')
+        cax.yaxis.set_ticks_position('left')
+        if len(field_keys) == 2:
+            second = field_keys[1]
+            axes['pc'][second].yaxis.set_visible(False)
+            axes['pc'][second].spines['left'].set_visible(False)
+            axes['eof'][second].set_title(
+                _bold(model._field_names[second]), fontweight='bold')
+        if is_complex:
+            cax = axes['phase']['cb']
+            cax.set_ylabel(_bold('Phase'), fontweight='bold')
+            cax.yaxis.set_label_position('left')
+            cax.yaxis.set_ticks_position('left')
 
     fig.subplots_adjust(wspace=.1)
-    fig.suptitle(titles['mode'], horizontalalignment='left')
+    fig.suptitle(
+        _bold('Mode {:d} ({:.1f} %)'.format(mode, explained)),
+        horizontalalignment='left',
+    )
     return fig, axes
