@@ -96,3 +96,100 @@ def test_mesh_2d_ensemble_and_space(xy):
 def test_make_mesh_too_many_devices():
     with pytest.raises(ValueError):
         make_mesh(ensemble=64, space=64)
+
+
+# ------------------------------------------------ fast path, space-sharded
+# The bench-critical pipeline (Cholesky-reduced kernel + subspace SVD +
+# rotation, xmca_tpu.core.fastpath) must itself run space-sharded: the
+# temporal Gram contracts over the sharded space axis (per-device partials
+# + psum over ICI), the n x n reduction stays replicated, and the spatial
+# loading back-projection is local to each shard.
+
+@pytest.fixture(scope='module')
+def big_xy():
+    """Shapes where sharding is the point: space >> time, p = 8k."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((512, 8))
+    Xl = base @ rng.standard_normal((8, 8192)) \
+        + 0.5 * rng.standard_normal((512, 8192))
+    Xr = base @ rng.standard_normal((8, 8192)) \
+        + 0.5 * rng.standard_normal((512, 8192))
+    return Xl - Xl.mean(0), Xr - Xr.mean(0)
+
+
+@requires_8dev
+def test_space_sharded_fast_solve_truncated(big_xy):
+    from xmca_tpu.core.fastpath import fast_solve_truncated
+    Xl, Xr = big_xy
+    key = jax.random.PRNGKey(3)
+
+    s, Vl, Vr = fast_solve_truncated(
+        jnp.asarray(Xl), jnp.asarray(Xr), key, n_modes=10, n_iter=10
+    )
+
+    mesh = make_mesh(ensemble=1, space=8)
+    Xl_sh = distribute_array(jnp.asarray(Xl), mesh)
+    Xr_sh = distribute_array(jnp.asarray(Xr), mesh)
+    s_sh, Vl_sh, Vr_sh = fast_solve_truncated(
+        Xl_sh, Xr_sh, key, n_modes=10, n_iter=10
+    )
+    # the loadings come back sharded along space — same layout as the data
+    assert len({sh.data.shape for sh in Vl_sh.addressable_shards}) == 1
+
+    assert_allclose(np.asarray(s_sh), np.asarray(s), rtol=1e-10)
+    # singular VECTORS are only defined up to sign — and, for the
+    # noise-floor modes beyond the 8 planted ones, up to rotation within
+    # their (degenerate) subspace, which GSPMD's reduction reorder can
+    # excite.  Compare the well-separated leading modes, sign-aligned.
+    k = 8
+    from tests.conftest import align_modes
+    for ours, ref in ((Vl_sh, Vl), (Vr_sh, Vr)):
+        ours = np.asarray(ours)[:, :k]
+        ref = np.asarray(ref)[:, :k]
+        assert_allclose(align_modes(ours, ref), ref, atol=1e-7)
+
+
+@requires_8dev
+def test_space_sharded_fast_rotated_variance(big_xy):
+    from xmca_tpu.core.fastpath import fast_rotated_variance
+    Xl, Xr = big_xy
+    key = jax.random.PRNGKey(4)
+
+    var, conv = fast_rotated_variance(
+        jnp.asarray(Xl), jnp.asarray(Xr), key, n_rot=8, power=1, n_iter=10
+    )
+
+    mesh = make_mesh(ensemble=2, space=4)
+    Xl_sh = distribute_array(jnp.asarray(Xl), mesh)
+    Xr_sh = distribute_array(jnp.asarray(Xr), mesh)
+    var_sh, conv_sh = fast_rotated_variance(
+        Xl_sh, Xr_sh, key, n_rot=8, power=1, n_iter=10
+    )
+
+    assert bool(conv) and bool(conv_sh)
+    assert_allclose(np.asarray(var_sh), np.asarray(var), rtol=1e-9)
+
+
+@requires_8dev
+def test_space_sharded_analytic_rotated_variance(big_xy):
+    """The complex (analytic-in-the-Gram) surrogate pipeline, sharded."""
+    from xmca_tpu.core.fastpath import (fast_rotated_variance_analytic,
+                                        hilbert_imag_matrix)
+    Xl, Xr = big_xy
+    H = jnp.asarray(hilbert_imag_matrix(512, np.float64))
+    key = jax.random.PRNGKey(5)
+
+    var, conv = fast_rotated_variance_analytic(
+        jnp.asarray(Xl), jnp.asarray(Xr), H, key, n_rot=8, n_iter=10,
+        tol=1e-5,
+    )
+
+    mesh = make_mesh(ensemble=1, space=8)
+    Xl_sh = distribute_array(jnp.asarray(Xl), mesh)
+    Xr_sh = distribute_array(jnp.asarray(Xr), mesh)
+    var_sh, conv_sh = fast_rotated_variance_analytic(
+        Xl_sh, Xr_sh, H, key, n_rot=8, n_iter=10, tol=1e-5,
+    )
+
+    assert bool(conv) and bool(conv_sh)
+    assert_allclose(np.asarray(var_sh), np.asarray(var), rtol=1e-9)

@@ -77,12 +77,6 @@ class MCA:
                 'Please provide `numpy.ndarray` only.'
             )
 
-        if any(has_nan_time_steps(f) for f in fields):
-            raise ValueError(
-                'One or more fields contain NaN time steps. '
-                'Please remove these prior to analysis.'
-            )
-
         # field meta information (host side; shapes are static for XLA)
         self._keys = ['left', 'right']
         self._fields = {}
@@ -101,12 +95,7 @@ class MCA:
 
         self._set_field_meta(fields)
         fields = self._reshape_to_2d(fields)
-        self._set_no_nan_idx(fields)
-        fields = self._remove_nan_cols(fields)
-        self._set_field_means(fields)
-        self._set_field_stds(fields)
-
-        self._fields = self._center(fields)
+        self._fields = self._ingest_on_device(fields)
 
         self._analysis = {
             'version': __version__,
@@ -179,11 +168,41 @@ class MCA:
         for k, field in data.items():
             self._field_stds[k] = field.std(axis=0)
 
+    def _ingest_on_device(self, data):
+        """Upload each 2-D field ONCE; every ingestion reduction (NaN
+        scans, means, stds, centering) runs on device.
+
+        The host->device link can be the slowest part of the whole
+        pipeline (a tunneled TPU moves ~45 MB/s), so the one transfer per
+        field is the ingestion budget; host-side numpy passes over the
+        same data and double uploads are avoided entirely.  NaN masks and
+        means/stds come back as small (n_space,) vectors and stay the
+        host-side numpy state the getter layer expects.
+        """
+        packed = {}
+        for k, f in data.items():
+            d = jnp.asarray(f)                       # the ONE upload
+            if bool(jnp.isnan(d).all(axis=1).any()):
+                raise ValueError(
+                    'One or more fields contain NaN time steps. '
+                    'Please remove these prior to analysis.'
+                )
+            nan_cols = np.asarray(jnp.isnan(d).any(axis=0))
+            self._no_nan_index[k] = ~nan_cols
+            if nan_cols.any():
+                d = d[:, np.nonzero(~nan_cols)[0]]
+            mean = jnp.mean(d, axis=0)
+            self._field_means[k] = np.asarray(mean)
+            self._field_stds[k] = np.asarray(jnp.std(d, axis=0))
+            packed[k] = d - mean
+        return packed
+
     def _center(self, data):
-        return {
-            k: jnp.asarray(f) - jnp.asarray(f).mean(axis=0)
-            for k, f in data.items()
-        }
+        out = {}
+        for k, f in data.items():
+            d = jnp.asarray(f)
+            out[k] = d - d.mean(axis=0)
+        return out
 
     def _get_method_id(self):
         return 'mca' if self._analysis['is_bivariate'] else 'pca'

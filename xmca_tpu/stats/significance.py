@@ -42,18 +42,50 @@ def _auto_batch(n_runs, n_obs, n_vars_total, itemsize, target_bytes=2 << 30,
     return int(min(n_runs, max(1, target_bytes // per_run)))
 
 
-def _ensemble_map(one_run, keys, batch_size, mesh=None, axis='ensemble',
-                  progress=None):
-    """Run ``vmap(one_run)`` over ``keys`` in batches, optionally sharded.
+# jitted ensemble pipelines, memoized by their full static configuration.
+# jax.jit's own cache is keyed on function identity: wrapping a fresh
+# closure with jit(vmap(...)) on every rule_n/bootstrapping call would
+# re-trace AND re-compile the entire surrogate pipeline each time (~35 s
+# at north-star shapes — 25x the cost of the 125 surrogates themselves).
+_ENSEMBLE_FN_CACHE = {}
+_HILBERT_DEVICE_CACHE = {}
 
-    With a mesh, each batch's key array is placed with its leading axis
-    sharded over ``axis`` — XLA runs the independent surrogates fully
-    parallel across devices (DCN/ICI traffic: only the final gather).
-    ``progress`` is an optional callable receiving the per-batch run count
-    (e.g. ``tqdm.update``).
+
+def _cached_ensemble_fn(cache_key, build, in_axes=0):
+    fn = _ENSEMBLE_FN_CACHE.get(cache_key)
+    if fn is None:
+        fn = jax.jit(jax.vmap(build(), in_axes=in_axes))
+        _ENSEMBLE_FN_CACHE[cache_key] = fn
+    return fn
+
+
+def _device_hilbert(n_obs, dtype):
+    """Device-resident Hilbert operator, cached per (length, dtype).
+
+    Re-uploading H on every call would change the constant captured by
+    the cached jitted pipelines (and re-transfer n^2 floats).
+    """
+    key = (int(n_obs), np.dtype(dtype).str, jax.default_backend())
+    if key not in _HILBERT_DEVICE_CACHE:
+        _HILBERT_DEVICE_CACHE[key] = jnp.asarray(
+            _fast.hilbert_imag_matrix(n_obs, dtype)
+        )
+    return _HILBERT_DEVICE_CACHE[key]
+
+
+def _ensemble_map(fn, keys, batch_size, mesh=None, axis='ensemble',
+                  progress=None, extra_args=()):
+    """Run a vmapped ensemble ``fn`` over ``keys`` in batches.
+
+    ``fn`` must already be the jitted vmapped pipeline (see
+    ``_cached_ensemble_fn``); ``extra_args`` are broadcast (non-batched)
+    arguments passed through to every batch.  With a mesh, each batch's
+    key array is placed with its leading axis sharded over ``axis`` — XLA
+    runs the independent surrogates fully parallel across devices
+    (DCN/ICI traffic: only the final gather).  ``progress`` is an optional
+    callable receiving the per-batch run count (e.g. ``tqdm.update``).
     """
     n_runs = keys.shape[0]
-    fn = jax.jit(jax.vmap(one_run))
     outs = []
     n_dev = 1
     if mesh is not None:
@@ -70,7 +102,7 @@ def _ensemble_map(one_run, keys, batch_size, mesh=None, axis='ensemble',
             kb = jnp.resize(kb, (n_in_batch + pad,) + kb.shape[1:])
         if mesh is not None:
             kb = jax.device_put(kb, sharding)
-        res = fn(kb)
+        res = fn(kb, *extra_args)
         if pad:
             res = jax.tree_util.tree_map(lambda r: r[:n_in_batch], res)
         # keep results on device: a per-batch host transfer would block
@@ -186,26 +218,31 @@ def rule_n_spectra(n_obs, n_vars, n_runs, *, complexify=False, rotated=False,
         # the Hilbert operator stays float32 for bfloat16 draws: H feeds
         # the n x n Gram algebra, which always runs in f32
         h_dtype = np.float32 if dtype == jnp.bfloat16 else dtype
-        hilbert_H = jnp.asarray(
-            _fast.hilbert_imag_matrix(n_obs, h_dtype)
-        )
+        hilbert_H = _device_hilbert(n_obs, h_dtype)
 
-    def one_run(key):
-        ks = jax.random.split(key, len(n_vars) + 1)
-        fields = [
-            jax.random.normal(ks[i], (n_obs, p), dtype=dtype)
-            for i, p in enumerate(n_vars)
-        ]
-        return _surrogate_variance(
-            fields, complexify, rotated, n_rot, power, tol, method,
-            spectrum=spectrum, n_modes_fast=n_modes_fast,
-            subspace_iters=subspace_iters, fast_key=ks[-1],
-            hilbert_H=hilbert_H,
-        )
+    cache_key = ('rule_n', n_obs, n_vars, complexify, rotated, n_rot,
+                 power, float(tol), method, spectrum, n_modes_fast,
+                 subspace_iters, dtype.str)
 
+    def build():
+        def one_run(key):
+            ks = jax.random.split(key, len(n_vars) + 1)
+            fields = [
+                jax.random.normal(ks[i], (n_obs, p), dtype=dtype)
+                for i, p in enumerate(n_vars)
+            ]
+            return _surrogate_variance(
+                fields, complexify, rotated, n_rot, power, tol, method,
+                spectrum=spectrum, n_modes_fast=n_modes_fast,
+                subspace_iters=subspace_iters, fast_key=ks[-1],
+                hilbert_H=hilbert_H,
+            )
+        return one_run
+
+    fn = _cached_ensemble_fn(cache_key, build)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_runs)
     spectra, totals, converged = _ensemble_map(
-        one_run, keys, batch_size, mesh=mesh, axis=ensemble_axis,
+        fn, keys, batch_size, mesh=mesh, axis=ensemble_axis,
         progress=progress,
     )
     keep = np.asarray(converged)
@@ -324,33 +361,46 @@ def bootstrap_spectra(fields, n_runs, n_out_modes, *, axis=0, on_left=True,
 
     hilbert_H = None
     if spectrum == 'fast' and complexify and not extend:
-        hilbert_H = jnp.asarray(
-            _fast.hilbert_imag_matrix(n_obs, dtype)
-        )
+        hilbert_H = _device_hilbert(n_obs, dtype)
 
-    def one_run(key):
-        key, fast_key = jax.random.split(key)
-        fs = resample(key, list(fields))
-        kwargs = dict(
-            spectrum=spectrum, n_modes_fast=n_out_modes,
-            subspace_iters=subspace_iters, fast_key=fast_key,
-            hilbert_H=hilbert_H,
-        )
-        if complexify and extend:
-            fs = [f - jnp.mean(f, axis=0) for f in fs]
-            fs = [_complexify(f, extend=extend, period=period) for f in fs]
-            var, _, conv = _surrogate_variance(
-                fs, False, rotated, n_rot, power, tol, method, **kwargs
-            )
-        else:
-            var, _, conv = _surrogate_variance(
-                fs, complexify, rotated, n_rot, power, tol, method, **kwargs
-            )
-        return var[:n_out_modes], conv
+    # the data enters as a broadcast argument (NOT a closure capture) so
+    # the compiled pipeline is reused across bootstrap modes ('iterative'
+    # re-invokes with new residual fields every mode) and across calls
+    cache_key = ('bootstrap',
+                 tuple((f.shape, np.dtype(f.dtype).str) for f in fields),
+                 axis, on_left, on_right, block_size, replace,
+                 complexify, extend, period, rotated, n_rot, power,
+                 float(tol), method, spectrum, n_out_modes,
+                 subspace_iters)
 
+    def build():
+        def one_run(key, fields_in):
+            key, fast_key = jax.random.split(key)
+            fs = resample(key, list(fields_in))
+            kwargs = dict(
+                spectrum=spectrum, n_modes_fast=n_out_modes,
+                subspace_iters=subspace_iters, fast_key=fast_key,
+                hilbert_H=hilbert_H,
+            )
+            if complexify and extend:
+                fs = [f - jnp.mean(f, axis=0) for f in fs]
+                fs = [_complexify(f, extend=extend, period=period)
+                      for f in fs]
+                var, _, conv = _surrogate_variance(
+                    fs, False, rotated, n_rot, power, tol, method, **kwargs
+                )
+            else:
+                var, _, conv = _surrogate_variance(
+                    fs, complexify, rotated, n_rot, power, tol, method,
+                    **kwargs
+                )
+            return var[:n_out_modes], conv
+        return one_run
+
+    fn = _cached_ensemble_fn(cache_key, build, in_axes=(0, None))
     keys = jax.random.split(jax.random.PRNGKey(seed), n_runs)
     spectra, converged = _ensemble_map(
-        one_run, keys, batch_size, mesh=mesh, axis=ensemble_axis,
-        progress=progress,
+        fn, keys, batch_size, mesh=mesh, axis=ensemble_axis,
+        progress=progress, extra_args=(tuple(fields),),
     )
     return spectra, np.asarray(converged)
