@@ -440,7 +440,12 @@ class MCA:
                 float(singular_values.sum()),
                 float((singular_values ** 2).sum()),
             )
-        self._V = {k: _to_np(V) for k, V in zip(self._keys, Vs)}
+        # singular vectors stay ON DEVICE; the host copy materializes
+        # lazily on first `_V` access.  The (p, k) vectors are the largest
+        # solve output, and a tunneled TPU link moves them at ~45 MB/s —
+        # rotate() and the PC projections only ever need the device copy.
+        self._V_dev = dict(zip(self._keys, Vs))
+        self._V_host = None
 
         self._singular_values = singular_values
         self._variance = singular_values
@@ -491,9 +496,9 @@ class MCA:
                 Xl, Xr if len(fields) == 2 else None, n_modes=k,
                 method=self._solver_method,
             )
-            Vs = [_to_np(Vl)]
+            Vs = [Vl]
             if len(fields) == 2:
-                Vs.append(_to_np(Vr))
+                Vs.append(Vr)
             return (np.asarray(s),
                     Vs,
                     (float(s_full.sum()), float((s_full ** 2).sum())))
@@ -501,14 +506,16 @@ class MCA:
         s, Vl, Vr, total_cov, total_sq = _fast.fast_solve_truncated_totals(
             Xl, Xr, key, n_modes=k, n_iter=self._subspace_iters
         )
-        # _to_np, never np.asarray: Vl/Vr are complex device arrays when
-        # solve(complexify=True), and a direct complex device->host
-        # transfer fails (and poisons the array) on the axon TPU backend
-        Vs = [_to_np(Vl)]
+        # Vl/Vr stay on device (complex device->host transfers are split
+        # and deferred to the lazy `_V` materialization); the two scalar
+        # totals come back in ONE stacked transfer instead of two
+        # round trips through the tunnel.
+        Vs = [Vl]
         if len(fields) == 2:
-            Vs.append(_to_np(Vr))
+            Vs.append(Vr)
+        totals = np.asarray(jnp.stack([total_cov, total_sq]))
         return (np.asarray(s), Vs,
-                (float(total_cov), float(total_sq)))
+                (float(totals[0]), float(totals[1])))
 
     # --------------------------------------------------------------- rotate
     def rotate(self, n_rot, power=1, tol=1e-8):
@@ -525,27 +532,45 @@ class MCA:
 
         singular_values = self._get_svals(n_rot)
         sqrt_svals = np.sqrt(singular_values)
-        V = self._get_V(n_rot, rotated=False)
-        n_vars_left = V['left'].shape[0]
 
-        # rotate loadings (Cheng & Dunkerton 1995)
-        L = np.concatenate([V[k] for k in self._keys])
-        L = L * sqrt_svals
-        L_rot, R, Phi, converged, _ = _promax(
-            _to_dev(L), power=int(power), max_iter=1000, tol=tol
+        # rotate loadings (Cheng & Dunkerton 1995).  The (p, n_rot)
+        # loading stack is assembled from the device-resident singular
+        # vectors when solve left them there — the host round trip
+        # (materialize + re-upload through a ~45 MB/s tunnel) costs more
+        # than the rotation itself at production shapes.
+        dev = getattr(self, '_V_dev', None)
+        if dev is not None:
+            n_vars_left = dev['left'].shape[0]
+            L = jnp.concatenate(
+                [dev[k][:, :n_rot] for k in self._keys], axis=0
+            )
+        else:
+            V = self._get_V(n_rot, rotated=False)
+            n_vars_left = V['left'].shape[0]
+            L = _to_dev(np.concatenate([V[k] for k in self._keys]))
+        L = L * jnp.asarray(
+            sqrt_svals, dtype=jnp.finfo(L.dtype).dtype
         )
+        L_rot, R, Phi, converged, _ = _promax(
+            L, power=int(power), max_iter=1000, tol=tol
+        )
+        # norms reduce on device; only two (n_rot,) vectors come home
+        if self._analysis['is_bivariate']:
+            norm_dev = jnp.stack([
+                jnp.linalg.norm(L_rot[:n_vars_left, :], axis=0),
+                jnp.linalg.norm(L_rot[n_vars_left:, :], axis=0),
+            ])
+        else:
+            norm_dev = jnp.tile(
+                jnp.linalg.norm(L_rot, axis=0)[None, :], (2, 1)
+            )
         if not bool(converged):
             raise RuntimeError(
                 'Rotation process did not converge. Try decreasing the '
                 'tolerance. Invalid NaN entries also might be a problem.'
             )
-        L_rot = _to_np(L_rot)
-
-        norm = {}
-        norm['left'] = np.linalg.norm(L_rot[:n_vars_left, :], axis=0)
-        norm['right'] = np.linalg.norm(L_rot[n_vars_left:, :], axis=0)
-        if not self._analysis['is_bivariate']:
-            norm['right'] = norm['left']
+        norm_np = np.asarray(norm_dev)
+        norm = {'left': norm_np[0], 'right': norm_np[1]}
 
         variance = norm['left'] * norm['right']
         var_idx = np.argsort(variance)[::-1]
@@ -580,6 +605,29 @@ class MCA:
             return np.eye(len(self.singular_values()))
 
     # -------------------------------------------------------------- getters
+    @property
+    def _V(self):
+        """Host-side singular vectors, materialized lazily.
+
+        Solve stores only the device arrays (``_V_dev``); the first host
+        consumer pays the (split-complex) transfer once.  Assigning to
+        ``_V`` (load_analysis, tests) installs a host dict directly and
+        drops the device copy.
+        """
+        host = getattr(self, '_V_host', None)
+        if host is None:
+            dev = getattr(self, '_V_dev', None)
+            if dev is None:
+                raise AttributeError('_V')
+            host = {k: _to_np(v) for k, v in dev.items()}
+            self._V_host = host
+        return host
+
+    @_V.setter
+    def _V(self, value):
+        self._V_host = value
+        self._V_dev = None
+
     def _get_svals(self, n=None):
         modes = self._get_slice(n)
         try:
@@ -970,8 +1018,12 @@ class MCA:
             )
         if n < self._singular_values.size:
             self._singular_values = self._singular_values[:n]
-            for key in self._keys:
-                self._V[key] = self._V[key][:, :n]
+            dev = getattr(self, '_V_dev', None)
+            if dev is not None:
+                self._V_dev = {k: v[:, :n] for k, v in dev.items()}
+            host = getattr(self, '_V_host', None)
+            if host is not None:
+                self._V_host = {k: v[:, :n] for k, v in host.items()}
             self._analysis['is_truncated'] = True
             self._analysis['is_truncated_at'] = n
 
