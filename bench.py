@@ -94,9 +94,11 @@ def main():
         return m.rule_n(n_runs, seed=7, disable_progress=True)
 
     # ---- warmup: compile every stage (solve/rotate plus the vmapped
-    # surrogate batch); excluded from the measured wall-clock.  rule_n's
-    # return value is host numpy, which is the true execution barrier.
-    surr_w = workload(xMCA(left, right), 2)
+    # surrogate batch AND the ensemble-sized rescale/gather tail, whose
+    # eager ops compile per ensemble size); excluded from the measured
+    # wall-clock.  rule_n's return value is host numpy, which is the true
+    # execution barrier.
+    surr_w = workload(xMCA(left, right), n_surr)
     assert np.isfinite(np.asarray(surr_w)).all()
     del surr_w
 

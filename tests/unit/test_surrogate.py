@@ -1,0 +1,110 @@
+"""Unit tests of the fused surrogate-generation ops (XLA fallback path).
+
+On CPU these exercise the pure-XLA implementation of the same
+distributions; the Pallas kernels themselves are verified on-chip by
+the equality assertions in scripts/tpu_checks.py (surrogate_field
+regenerates the exact tiles the fused kernels consume, on any backend).
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from xmca_tpu.ops.surrogate import (centered_gram_from_raw,
+                                    surrogate_field, surrogate_gram,
+                                    surrogate_project)
+
+
+@pytest.mark.parametrize('dist', ['normal32', 'rademacher'])
+def test_gram_matches_materialized_field(dist):
+    n, p = 96, 400
+    seed = jnp.int32(21)
+    G, mu, u, mumu = surrogate_gram(seed, n, p, dist=dist)
+    X = np.asarray(surrogate_field(seed, n, p, dist=dist)).astype(
+        np.float64
+    )
+    np.testing.assert_allclose(np.asarray(G), X @ X.T, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(mu), X.mean(0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(u), X @ X.mean(0), atol=1e-4)
+
+
+@pytest.mark.parametrize('dist', ['normal32', 'rademacher'])
+def test_centering_correction_is_exact_algebra(dist):
+    n, p = 64, 300
+    seed = jnp.int32(5)
+    G, mu, u, mumu = surrogate_gram(seed, n, p, dist=dist)
+    Gc = np.asarray(centered_gram_from_raw(G, u, mumu))
+    X = np.asarray(surrogate_field(seed, n, p, dist=dist)).astype(
+        np.float64
+    )
+    Xc = X - X.mean(0)
+    np.testing.assert_allclose(
+        Gc, Xc @ Xc.T, atol=1e-3 * abs(Gc).max()
+    )
+
+
+def test_project_matches_materialized_field():
+    n, p, m = 80, 256, 7
+    seed = jnp.int32(9)
+    S = np.random.default_rng(0).standard_normal((n, m)).astype(
+        np.float32
+    )
+    V = np.asarray(surrogate_project(seed, jnp.asarray(S), n, p))
+    X = np.asarray(surrogate_field(seed, n, p)).astype(np.float64)
+    # the kernel contracts in bfloat16 (surrogate-grade precision)
+    Sb = np.asarray(
+        jnp.asarray(S).astype(jnp.bfloat16).astype(jnp.float32)
+    ).astype(np.float64)
+    ref = X.T @ Sb
+    np.testing.assert_allclose(V, ref, atol=2e-2 * abs(ref).max())
+
+
+def test_same_seed_regenerates_same_field():
+    a = np.asarray(surrogate_field(jnp.int32(3), 32, 64))
+    b = np.asarray(surrogate_field(jnp.int32(3), 32, 64))
+    c = np.asarray(surrogate_field(jnp.int32(4), 32, 64))
+    assert (a == b).all()
+    assert (a != c).any()
+
+
+@pytest.mark.parametrize('dist', ['normal32', 'rademacher'])
+def test_draw_moments(dist):
+    X = np.asarray(
+        surrogate_field(jnp.int32(17), 256, 2048, dist=dist)
+    ).astype(np.float64)
+    assert abs(X.mean()) < 5e-3
+    assert abs(X.var() - 1.0) < 5e-3
+    if dist == 'normal32':
+        # Binomial(32, 1/2) standardized: skew 0, excess kurtosis -1/16
+        flat = X.ravel()
+        assert abs((flat ** 3).mean()) < 2e-2
+        assert abs((flat ** 4).mean() - (3.0 - 1.0 / 16.0)) < 5e-2
+
+
+def test_gen_surrogate_variance_matches_draw_statistics():
+    """Generated vs drawn Rule-N nulls agree in distribution."""
+    from xmca_tpu.core.fastpath import (fast_surrogate_variance_gen,
+                                        hilbert_imag_matrix)
+    from xmca_tpu.stats import significance as sig
+
+    n, pl_, pr = 128, 96, 80
+    H = jnp.asarray(hilbert_imag_matrix(n, np.float32))
+    gen = []
+    for s in range(20):
+        var, total, conv = fast_surrogate_variance_gen(
+            jnp.int32(1000 + s), jax.random.PRNGKey(s), n, (pl_, pr),
+            H=H, complexify=True, rotated=True, n_rot=5, n_iter=10,
+        )
+        assert bool(conv)
+        gen.append(np.asarray(var))
+    gen = np.stack(gen)
+
+    spectra, _ = sig.rule_n_spectra(
+        n, (pl_, pr), 20, complexify=True, rotated=True, n_rot=5,
+        dtype=np.float32, seed=7, spectrum='fast', subspace_iters=10,
+    )
+    drawn = np.asarray(spectra)
+    # medians of the leading-mode null within each other's spread
+    g, d = np.median(gen[:, 0]), np.median(drawn[:, 0])
+    spread = drawn[:, 0].std() + gen[:, 0].std()
+    assert abs(g - d) < 2.0 * spread

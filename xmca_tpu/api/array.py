@@ -137,6 +137,8 @@ class MCA:
         self._solver_truncate = None
         self._solver_seed = 0
         self._surrogate_dtype = None
+        self._surrogate_source = None          # auto (see rule_n)
+        self._surrogate_gen_dist = 'normal32'
 
     # ------------------------------------------------------------ ingestion
     def _set_field_meta(self, data):
@@ -211,7 +213,8 @@ class MCA:
     def set_solver(self, method=None, batch_size=None, mesh=None,
                    ensemble_axis='ensemble', spectrum=None,
                    subspace_iters=None, truncate=None, seed=None,
-                   surrogate_dtype=None):
+                   surrogate_dtype=None, surrogate_source=None,
+                   surrogate_gen_dist=None):
         """Configure the TPU solver (extension over the reference API).
 
         Parameters
@@ -254,6 +257,22 @@ class MCA:
             tests/integration/test_shipping_accuracy.py), the field's
             real dtype otherwise.  Bootstrap resampling always keeps the
             data's own dtype (quantizing *real* data would bias it).
+        surrogate_source : {'draw', 'generated'}, optional
+            How Rule-N surrogate fields come to exist.  'draw'
+            materializes jax.random fields and runs the standard
+            pipeline.  'generated' (auto-default on the TPU fast path)
+            never materializes them: Pallas kernels generate tiles from
+            the on-core hardware PRNG inside the Gram/projection
+            contractions (xmca_tpu.ops.surrogate) — the dominant
+            per-surrogate cost (drawing and streaming two (n, p) fields
+            through HBM) disappears.
+        surrogate_gen_dist : {'normal32', 'rademacher'}, optional
+            Draw distribution of generated surrogates.  'normal32'
+            (default) is a popcount-binomial matched to N(0, 1) in its
+            first three moments (excess kurtosis -1/16); 'rademacher' is
+            +-1.  Null spectra are universal in the first two moments at
+            these dimensions; equivalence to Gaussian draws is measured
+            in tests/integration/test_significance.py.
         """
         if method is not None:
             if method not in ('gram', 'svd'):
@@ -276,6 +295,19 @@ class MCA:
             self._solver_seed = int(seed)
         if surrogate_dtype is not None:
             self._surrogate_dtype = np.dtype(surrogate_dtype)
+        if surrogate_source is not None:
+            if surrogate_source not in ('draw', 'generated'):
+                raise ValueError(
+                    "surrogate_source must be 'draw' or 'generated'"
+                )
+            self._surrogate_source = surrogate_source
+        if surrogate_gen_dist is not None:
+            if surrogate_gen_dist not in ('normal32', 'rademacher'):
+                raise ValueError(
+                    "surrogate_gen_dist must be 'normal32' or "
+                    "'rademacher'"
+                )
+            self._surrogate_gen_dist = surrogate_gen_dist
 
     def set_field_names(self, left='left', right='right'):
         """Set names of the left/right field, used in plots and save files."""
@@ -1070,6 +1102,17 @@ class MCA:
             n_modes_fast = min(
                 slc.stop, min(m.values()), min(n.values())
             )
+        source = self._surrogate_source
+        if source is None:
+            # auto: the fused Pallas generation pipeline on the
+            # single-device TPU fast path; materialized draws elsewhere
+            # (mesh ensembles shard drawn key batches; CPU gains nothing
+            # from generation and keeps exact Gaussian draws)
+            source = 'generated' if (
+                self._ensemble_spectrum == 'fast'
+                and self._ensemble_mesh is None
+                and jax.default_backend() == 'tpu'
+            ) else 'draw'
         progress, close = self._progress_bar(n_runs, disable_progress)
         spectra, totals = _sig.rule_n_spectra(
             m['left'], tuple(n[k] for k in self._keys), n_runs,
@@ -1081,7 +1124,9 @@ class MCA:
             batch_size=self._ensemble_batch_size,
             mesh=self._ensemble_mesh, ensemble_axis=self._ensemble_axis,
             spectrum=self._ensemble_spectrum, n_modes_fast=n_modes_fast,
-            subspace_iters=self._subspace_iters, progress=progress,
+            subspace_iters=self._subspace_iters,
+            surrogate_source=source,
+            surrogate_dist=self._surrogate_gen_dist, progress=progress,
         )
         close()
         svals = spectra.T                        # (n_modes, n_runs)

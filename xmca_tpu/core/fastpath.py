@@ -120,20 +120,27 @@ def hilbert_imag_matrix(n, dtype=np.float32):
 _HILBERT_CACHE = {}
 
 
-def analytic_temporal_gram(X, H, jitter_rel=1e-6):
-    """Jittered temporal Gram of ``analytic(X)`` from real ``X`` directly.
+def _analytic_fold(G, H):
+    """Complexified temporal Gram from the real Gram (no data-sized op).
 
-    ``G_Z = (G + H G H^T) + i (H G - G H^T)`` with ``G = X X^T``: one big
-    real MXU Gram plus three n x n matmuls — ~4x cheaper than a complex
-    Gram and no FFT.  ``X`` may be bfloat16 (surrogate ensembles); the
-    Gram always accumulates in float32.
+    ``G_Z = (G + H G H^T) + i (H G - G H^T)`` — three n x n matmuls.
     """
-    G = _data_dot(X, X.T)
     HG = _dot_hi(H, G)
     HGHt = _dot_hi(HG, H.T)
     real = G + HGHt
     imag = HG - HG.T          # H G - G H^T == HG - (HG)^T for symmetric G
-    GZ = real + 1j * imag
+    return real + 1j * imag
+
+
+def analytic_temporal_gram(X, H, jitter_rel=1e-6):
+    """Jittered temporal Gram of ``analytic(X)`` from real ``X`` directly.
+
+    One big real MXU Gram plus the :func:`_analytic_fold` n x n algebra —
+    ~4x cheaper than a complex Gram and no FFT.  ``X`` may be bfloat16
+    (surrogate ensembles); the Gram always accumulates in float32.
+    """
+    G = _data_dot(X, X.T)
+    GZ = _analytic_fold(G, H)
     return _jitter(GZ.astype(_complex_dtype(X.dtype)), X.shape[1],
                    jitter_rel, input_eps=jnp.finfo(X.dtype).eps)
 
@@ -423,6 +430,112 @@ def fast_solve_truncated(Xl, Xr, key, n_modes, n_iter=8, jitter_rel=1e-6):
     V_left = Xl.conj().T @ Zl
     V_right = Xr.conj().T @ Zr
     return s, V_left, V_right
+
+
+@partial(jax.jit,
+         static_argnames=('n_obs', 'n_vars', 'complexify', 'rotated',
+                          'n_rot', 'power', 'n_iter', 'dist',
+                          'polar_method'))
+def fast_surrogate_variance_gen(seed, key, n_obs, n_vars, H=None,
+                                complexify=False, rotated=False,
+                                n_rot=10, power=1, tol=1e-8, n_iter=8,
+                                jitter_rel=1e-6, dist='normal32',
+                                polar_method='ns'):
+    """One Rule-N surrogate solve with ON-THE-FLY field generation.
+
+    The Monte-Carlo endgame of the fast path: the surrogate fields are
+    never materialized at all.  ``xmca_tpu.ops.surrogate.surrogate_gram``
+    generates bfloat16 tiles from the on-core hardware PRNG inside a
+    Pallas kernel and accumulates the temporal Gram on the MXU; the
+    spatial loading back-projection regenerates identical tiles
+    (``surrogate_project``).  Everything downstream — Cholesky reduction,
+    subspace SVD, promax — operates on n x n / (p, k) arrays exactly like
+    :func:`fast_rotated_variance_analytic`.
+
+    Centering is exact: the kernels accumulate the rank-1 terms so the
+    centered Gram and centered projections are recovered algebraically
+    (``centered_gram_from_raw``), matching the pipeline the reference
+    applies to its Gaussian surrogates (xmca/array.py:1753-1765).
+
+    Returns ``(variance, total, converged)`` with the same contract as
+    ``xmca_tpu.stats.significance._surrogate_variance``.
+    """
+    from xmca_tpu.core.rotation import promax
+    from xmca_tpu.ops.surrogate import (surrogate_gram, surrogate_project,
+                                        centered_gram_from_raw)
+
+    seed = jnp.asarray(seed).astype(jnp.int32)
+    bivariate = len(n_vars) == 2
+    f_eps = float(np.finfo(np.float32).eps)
+
+    def field_gram(fseed, p):
+        G, mu, u, mumu = surrogate_gram(fseed, n_obs, p, dist=dist)
+        Gc = centered_gram_from_raw(G, u, mumu)
+        if complexify:
+            Gz = _analytic_fold(Gc, H).astype(jnp.complex64)
+        else:
+            Gz = Gc
+        return _jitter(Gz, p, jitter_rel, input_eps=f_eps), mu
+
+    seeds = [seed * 2, seed * 2 + 1]
+    Gl, mu_l = field_gram(seeds[0], n_vars[0])
+    if bivariate:
+        Gr, mu_r = field_gram(seeds[1], n_vars[1])
+    else:
+        Gr, mu_r = Gl, mu_l
+
+    dof = n_obs - 1
+    La = jnp.linalg.cholesky(Gl)
+    Lb = La if not bivariate else jnp.linalg.cholesky(Gr)
+    M = _dot_hi(La.conj().T, Lb) / dof
+
+    if not rotated:
+        _, s, _ = subspace_svd(M, key, k=n_rot, n_iter=n_iter)
+        total = nuclear_norm(M)
+        conv = jnp.isfinite(s).all()
+        return s, total, conv
+
+    U, s, V = subspace_svd(M, key, k=n_rot, n_iter=n_iter)
+
+    def spatial(fseed, p, mu, L_chol, T_side):
+        T = jax.scipy.linalg.solve_triangular(
+            L_chol.conj().T, T_side, lower=False
+        )
+        if complexify:
+            # V = Z^H T = X^T (T - i H^T T) — stack real/imag into one
+            # real (n, 2k) projection so the field regenerates once
+            S = T - 1j * (H.T @ T)
+            S_stack = jnp.concatenate(
+                [jnp.real(S), jnp.imag(S)], axis=1
+            ).astype(jnp.float32)
+            P = surrogate_project(fseed, S_stack, n_obs, p, dist=dist)
+            P = P - mu[:, None] * jnp.sum(S_stack, axis=0)[None, :]
+            k = T.shape[1]
+            return P[:, :k] + 1j * P[:, k:]
+        S_stack = jnp.real(T).astype(jnp.float32)
+        P = surrogate_project(fseed, S_stack, n_obs, p, dist=dist)
+        return P - mu[:, None] * jnp.sum(S_stack, axis=0)[None, :]
+
+    Vl = spatial(seeds[0], n_vars[0], mu_l, La, U)
+    sqrt_s = jnp.sqrt(s).astype(Vl.dtype)
+    if bivariate:
+        Vr = spatial(seeds[1], n_vars[1], mu_r, Lb, V)
+        L = jnp.concatenate([Vl, Vr], axis=0) * sqrt_s[None, :]
+    else:
+        L = Vl * sqrt_s[None, :]
+    n_vars_left = Vl.shape[0]
+    L_rot, R, phi, converged, _ = promax(
+        L, power=power, tol=tol, polar_method=polar_method
+    )
+    norm_left = jnp.linalg.norm(L_rot[:n_vars_left, :], axis=0)
+    if bivariate:
+        norm_right = jnp.linalg.norm(L_rot[n_vars_left:, :], axis=0)
+        variance = norm_left * norm_right
+    else:
+        variance = norm_left ** 2
+    variance = jnp.sort(variance)[::-1]
+    converged = jnp.logical_and(converged, jnp.isfinite(variance).all())
+    return variance, jnp.sum(variance), converged
 
 
 @partial(jax.jit, static_argnames=('n_modes', 'n_iter'))

@@ -1,0 +1,280 @@
+"""Pallas TPU kernels for Monte-Carlo surrogate ensembles.
+
+The hot loop of Rule-N (reference: the host loop around
+``np.random.rand`` + per-run solves, xmca/array.py:1753-1765) is, on
+TPU, dominated not by linear algebra but by *materializing the random
+fields*: a (2000, 100k) draw per field per run costs ~15 ms through
+XLA's PRNG plus an HBM round trip, while the temporal Gram it feeds
+costs ~5 ms.  These kernels never materialize the surrogate field at
+all:
+
+* :func:`surrogate_gram` seeds the on-core hardware PRNG, generates
+  bfloat16 tiles of the surrogate field directly in VMEM, and
+  accumulates the temporal Gram ``X X^T`` on the MXU — the (n, p) field
+  never exists in HBM.  Column means and their projections are
+  accumulated alongside, so the *centered* Gram is recovered with a
+  rank-1 correction (see :func:`centered_gram_from_raw`).
+* :func:`surrogate_project` re-seeds the same per-tile streams to
+  REGENERATE identical field tiles and contracts them against a small
+  (n, m) matrix — the spatial loading back-projection ``X^T S`` —
+  again without the field ever touching HBM.
+
+Surrogate draw distribution: the hardware PRNG yields uint32 bits;
+``dist='normal32'`` maps them through a popcount to
+``(Binomial(32, 1/2) - 16) / sqrt(8)`` — zero mean, unit variance,
+zero skew, excess kurtosis -1/16 — whose Wishart/Marchenko-Pastur
+null spectra at MCA scales (p ~ 1e4..1e6 variables) are statistically
+indistinguishable from Gaussian draws (spectral universality needs
+only matching first two moments; see the quantile-equivalence test in
+tests/integration/test_significance.py).  ``dist='rademacher'`` maps a
+single bit to +-1.  Both are exactly representable in bfloat16 — the
+draw adds no quantization noise, unlike bfloat16-rounded Gaussians.
+
+Non-TPU backends fall back to a pure-XLA implementation of the same
+distributions (different bit streams, identical statistics), so every
+consumer runs everywhere.
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# one odd 32-bit constant Weyl-steps the per-tile PRNG streams; kernel 1
+# and kernel 2 derive identical tile seeds so regeneration is exact
+_TILE_SEED_STEP = np.int32(-1640531527)          # 2654435769 as int32
+_INV_SQRT8 = 0.3535533905932738
+
+
+def _ceil_to(x, m):
+    return -(-x // m) * m
+
+
+def _bits_to_draw(bits, dist):
+    """uint32 random bits -> bfloat16 surrogate values (VPU ops only)."""
+    if dist == 'rademacher':
+        return jnp.where(
+            (bits & np.uint32(1)).astype(jnp.int32) == 1,
+            jnp.bfloat16(1.0), jnp.bfloat16(-1.0),
+        )
+    if dist == 'normal32':
+        pc = jax.lax.population_count(bits).astype(jnp.float32)
+        return ((pc - 16.0) * _INV_SQRT8).astype(jnp.bfloat16)
+    raise ValueError(f'unknown surrogate distribution: {dist!r}')
+
+
+# --------------------------------------------------------------- kernel 1
+@functools.partial(
+    jax.jit, static_argnames=('n', 'p', 'dist', 'block_p')
+)
+def surrogate_gram(seed, n, p, dist='normal32', block_p=512):
+    """Raw temporal Gram of an (n, p) surrogate field, field never stored.
+
+    Returns ``(G, mu, u, mumu)``:
+
+    * ``G``    (n, n)  float32 — ``X X^T`` of the *uncentered* draw
+    * ``mu``   (p,)    float32 — column (time-)means of the draw
+    * ``u``    (n,)    float32 — ``X @ mu``
+    * ``mumu`` ()      float32 — ``mu . mu``
+
+    so the centered Gram is ``G - u 1^T - 1 u^T + mumu`` (see
+    :func:`centered_gram_from_raw`).  ``seed`` is a scalar int32; equal
+    seeds produce identical fields (and :func:`surrogate_project`
+    regenerates the same field from the same seed).
+    """
+    if jax.default_backend() != 'tpu':
+        X = _xla_surrogate_field(seed, n, p, dist)
+        mu = jnp.mean(X.astype(jnp.float32), axis=0)
+        G = jax.lax.dot_general(
+            X, X, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        u = X.astype(jnp.float32) @ mu
+        return G, mu, u, mu @ mu
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_pad = _ceil_to(n, 128)
+    p_pad = _ceil_to(p, block_p)
+    grid = (p_pad // block_p,)
+
+    def kernel(seed_ref, g_ref, mu_ref, u_ref, mumu_ref):
+        k = pl.program_id(0)
+
+        @pl.when(k == 0)
+        def _():
+            g_ref[:] = jnp.zeros_like(g_ref)
+            u_ref[:] = jnp.zeros_like(u_ref)
+            mumu_ref[0, 0] = jnp.float32(0.0)
+
+        pltpu.prng_seed(seed_ref[0] + k * _TILE_SEED_STEP)
+        bits = pltpu.prng_random_bits((n_pad, block_p))
+        X = _bits_to_draw(bits, dist)
+        row_ok = jax.lax.broadcasted_iota(
+            jnp.int32, (n_pad, block_p), 0) < n
+        col_ok = (jax.lax.broadcasted_iota(
+            jnp.int32, (n_pad, block_p), 1) + k * block_p) < p
+        X = jnp.where(row_ok & col_ok, X, jnp.bfloat16(0.0))
+
+        g_ref[:] += jax.lax.dot_general(
+            X, X, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        Xf = X.astype(jnp.float32)
+        mu_blk = jnp.sum(Xf, axis=0, keepdims=True) * (1.0 / n)
+        mu_ref[:] = mu_blk
+        u_ref[:] += jax.lax.dot_general(
+            Xf, mu_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        mumu_ref[0, 0] += jnp.sum(mu_blk * mu_blk)
+
+    G, mu, u, mumu = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((n_pad, n_pad), lambda k: (0, 0)),
+            pl.BlockSpec((1, block_p), lambda k: (0, k)),
+            pl.BlockSpec((n_pad, 1), lambda k: (0, 0)),
+            pl.BlockSpec(
+                (1, 1), lambda k: (0, 0), memory_space=pltpu.SMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, p_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+    )(jnp.reshape(jnp.asarray(seed).astype(jnp.int32), (1,)))
+    return (G[:n, :n], mu[0, :p], u[:n, 0], mumu[0, 0])
+
+
+def centered_gram_from_raw(G, u, mumu):
+    """Temporal Gram of the centered field from raw-field accumulators.
+
+    ``(X - 1 mu^T)(X - 1 mu^T)^T = G - u 1^T - 1 u^T + (mu.mu) 1 1^T``
+    — rank-1 algebra on the small (n, n) matrix, so centering the
+    surrogate costs nothing at data scale.
+    """
+    return G - u[:, None] - u[None, :] + mumu
+
+
+# --------------------------------------------------------------- kernel 2
+@functools.partial(
+    jax.jit, static_argnames=('n', 'p', 'dist', 'block_p')
+)
+def surrogate_project(seed, S, n, p, dist='normal32', block_p=512):
+    """``X^T @ S`` for the regenerated surrogate field, (p, m) float32.
+
+    ``S`` is a small (n, m) float32 matrix (spatial-vector recovery
+    weights).  The field tiles are REGENERATED from ``seed`` with the
+    exact per-tile streams of :func:`surrogate_gram` — HBM traffic is
+    just the (p, m) output.  For the *centered* field use
+    ``surrogate_project(...) - mu[:, None] * S.sum(0)[None, :]``.
+    """
+    m = S.shape[1]
+    if jax.default_backend() != 'tpu':
+        X = _xla_surrogate_field(seed, n, p, dist)
+        return jax.lax.dot_general(
+            X, S.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_pad = _ceil_to(n, 128)
+    p_pad = _ceil_to(p, block_p)
+    m_pad = _ceil_to(m, 128)
+    grid = (p_pad // block_p,)
+    S_pad = jnp.zeros((n_pad, m_pad), jnp.float32).at[:n, :m].set(
+        S.astype(jnp.float32)
+    )
+
+    def kernel(seed_ref, s_ref, v_ref):
+        k = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + k * _TILE_SEED_STEP)
+        bits = pltpu.prng_random_bits((n_pad, block_p))
+        X = _bits_to_draw(bits, dist)
+        row_ok = jax.lax.broadcasted_iota(
+            jnp.int32, (n_pad, block_p), 0) < n
+        col_ok = (jax.lax.broadcasted_iota(
+            jnp.int32, (n_pad, block_p), 1) + k * block_p) < p
+        X = jnp.where(row_ok & col_ok, X, jnp.bfloat16(0.0))
+        v_ref[:] = jax.lax.dot_general(
+            X, s_ref[:].astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    V = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_pad, m_pad), lambda k: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_p, m_pad), lambda k: (k, 0)),
+        out_shape=jax.ShapeDtypeStruct((p_pad, m_pad), jnp.float32),
+    )(jnp.reshape(jnp.asarray(seed).astype(jnp.int32), (1,)), S_pad)
+    return V[:p, :m]
+
+
+# ------------------------------------------------------------ XLA fallback
+def _xla_surrogate_field(seed, n, p, dist):
+    """Materialized surrogate field on non-TPU backends.
+
+    Same distributions from ``jax.random.bits`` (different bit streams
+    than the TPU hardware PRNG; all consumers depend only on the
+    distribution).  Exists so the generated-surrogate pipeline — and its
+    tests — run on any backend.
+    """
+    key = jax.random.fold_in(
+        jax.random.PRNGKey(0), jnp.asarray(seed).astype(jnp.uint32)
+    )
+    bits = jax.random.bits(key, (n, p), jnp.uint32)
+    return _bits_to_draw(bits, dist)
+
+
+def surrogate_field(seed, n, p, dist='normal32', block_p=512):
+    """Materialize the surrogate field itself (p-sized HBM write).
+
+    Debug/verification surface: asserts that :func:`surrogate_gram` /
+    :func:`surrogate_project` match a plain XLA contraction of the very
+    same field.  On TPU the tiles come from the same per-tile hardware
+    PRNG streams as the fused kernels; production code never calls this.
+    """
+    if jax.default_backend() != 'tpu':
+        return _xla_surrogate_field(seed, n, p, dist)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_pad = _ceil_to(n, 128)
+    p_pad = _ceil_to(p, block_p)
+    grid = (p_pad // block_p,)
+
+    def kernel(seed_ref, x_ref):
+        k = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + k * _TILE_SEED_STEP)
+        bits = pltpu.prng_random_bits((n_pad, block_p))
+        X = _bits_to_draw(bits, dist)
+        row_ok = jax.lax.broadcasted_iota(
+            jnp.int32, (n_pad, block_p), 0) < n
+        col_ok = (jax.lax.broadcasted_iota(
+            jnp.int32, (n_pad, block_p), 1) + k * block_p) < p
+        x_ref[:] = jnp.where(row_ok & col_ok, X, jnp.bfloat16(0.0))
+
+    X = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((n_pad, block_p), lambda k: (0, k)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, p_pad), jnp.bfloat16),
+    )(jnp.reshape(jnp.asarray(seed).astype(jnp.int32), (1,)))
+    return X[:n, :p]

@@ -51,10 +51,12 @@ _ENSEMBLE_FN_CACHE = {}
 _HILBERT_DEVICE_CACHE = {}
 
 
-def _cached_ensemble_fn(cache_key, build, in_axes=0):
+def _cached_ensemble_fn(cache_key, build, in_axes=0, vmapped=True):
     fn = _ENSEMBLE_FN_CACHE.get(cache_key)
     if fn is None:
-        fn = jax.jit(jax.vmap(build(), in_axes=in_axes))
+        inner = build()
+        fn = jax.jit(jax.vmap(inner, in_axes=in_axes) if vmapped
+                     else inner)
         _ENSEMBLE_FN_CACHE[cache_key] = fn
     return fn
 
@@ -73,6 +75,14 @@ def _device_hilbert(n_obs, dtype):
     return _HILBERT_DEVICE_CACHE[key]
 
 
+@jax.jit
+def _scatter_batch(bufs, start, res):
+    return jax.tree_util.tree_map(
+        lambda b, r: jax.lax.dynamic_update_slice_in_dim(b, r, start, 0),
+        bufs, res,
+    )
+
+
 def _ensemble_map(fn, keys, batch_size, mesh=None, axis='ensemble',
                   progress=None, extra_args=()):
     """Run a vmapped ensemble ``fn`` over ``keys`` in batches.
@@ -85,8 +95,15 @@ def _ensemble_map(fn, keys, batch_size, mesh=None, axis='ensemble',
     (DCN/ICI traffic: only the final gather).  ``progress`` is an optional
     callable receiving the per-batch run count (e.g. ``tqdm.update``).
     """
+    # keys are sliced HOST-side: device-slicing them would dispatch one
+    # eager remote op per batch, and on a tunneled TPU backend each eager
+    # dispatch costs ~10-25 ms — comparable to the surrogate itself.
+    # Uploading an (batch, 2) uint32 array per batch is effectively free.
+    keys = np.asarray(keys)
     n_runs = keys.shape[0]
     outs = []
+    bufs = None
+    pos = 0
     n_dev = 1
     if mesh is not None:
         n_dev = mesh.shape[axis]
@@ -99,9 +116,11 @@ def _ensemble_map(fn, keys, batch_size, mesh=None, axis='ensemble',
             # tile cyclically: the final batch may hold fewer rows than the
             # padding needs (n_in_batch < pad), so a single concat of
             # kb[:pad] would under-pad and break the sharded device_put
-            kb = jnp.resize(kb, (n_in_batch + pad,) + kb.shape[1:])
+            kb = np.resize(kb, (n_in_batch + pad,) + kb.shape[1:])
         if mesh is not None:
             kb = jax.device_put(kb, sharding)
+        else:
+            kb = jnp.asarray(kb)
         res = fn(kb, *extra_args)
         if pad:
             res = jax.tree_util.tree_map(lambda r: r[:n_in_batch], res)
@@ -109,9 +128,25 @@ def _ensemble_map(fn, keys, batch_size, mesh=None, axis='ensemble',
         # each dispatch on the previous batch's execution and kill the
         # dispatch pipeline (critical for batch=1 TPU ensembles where the
         # host->device roundtrip rivals the surrogate compute)
-        outs.append(res)
+        if mesh is None:
+            # write each batch into a preallocated device buffer through
+            # ONE jitted updater: a final jnp.concatenate over n_batches
+            # operands would compile per ensemble size (~10 s at 125
+            # one-run batches), while dynamic_update_slice traces the
+            # batch index as data
+            if bufs is None:
+                bufs = jax.tree_util.tree_map(
+                    lambda r: jnp.zeros((n_runs,) + r.shape[1:], r.dtype),
+                    res,
+                )
+            bufs = _scatter_batch(bufs, pos, res)
+            pos += n_in_batch
+        else:
+            outs.append(res)
         if progress is not None:
             progress(n_in_batch)
+    if mesh is None:
+        return jax.tree_util.tree_map(np.asarray, bufs)
     # one device-side concatenation + one host transfer per output leaf
     return jax.tree_util.tree_map(
         lambda *rs: np.asarray(jnp.concatenate(rs, axis=0)), *outs
@@ -187,13 +222,23 @@ def rule_n_spectra(n_obs, n_vars, n_runs, *, complexify=False, rotated=False,
                    n_rot=0, power=1, tol=1e-8, dtype=np.float64,
                    method='gram', seed=None, batch_size=None, mesh=None,
                    ensemble_axis='ensemble', spectrum='exact',
-                   n_modes_fast=None, subspace_iters=12, progress=None):
+                   n_modes_fast=None, subspace_iters=12,
+                   surrogate_source='draw', surrogate_dist='normal32',
+                   progress=None):
     """Rule-N surrogate variance spectra (Overland & Preisendorfer 1982).
 
     TPU-native replacement for the reference's host loop
-    (xmca/array.py:1753-1765): Gaussian surrogates with the *original*
-    (unpacked) variable counts are drawn on device from per-run PRNG keys,
-    solved (and rotated) in vmapped batches.
+    (xmca/array.py:1753-1765): surrogates with the *original* (unpacked)
+    variable counts are solved (and rotated) as a device ensemble.
+
+    ``surrogate_source='draw'`` draws the noise fields with jax.random
+    and runs them through the standard pipeline in vmapped batches.
+    ``surrogate_source='generated'`` (the TPU production path) never
+    materializes the fields: per-run Pallas kernels generate tiles from
+    the on-core hardware PRNG inside the Gram/projection contractions
+    (``xmca_tpu.ops.surrogate``), with the draw distribution
+    ``surrogate_dist`` ('normal32' moment-matched popcount-binomial, or
+    'rademacher').
 
     Returns
     -------
@@ -206,6 +251,44 @@ def rule_n_spectra(n_obs, n_vars, n_runs, *, complexify=False, rotated=False,
         seed = int(np.random.randint(0, 2 ** 31 - 1))
     n_vars = tuple(int(p) for p in n_vars)
     dtype = np.dtype(dtype)
+
+    if surrogate_source == 'generated' and spectrum == 'fast':
+        hilbert_H = _device_hilbert(n_obs, np.float32) if complexify \
+            else None
+        k_modes = n_rot if rotated else n_modes_fast
+        cache_key = ('rule_n_gen', n_obs, n_vars, complexify, rotated,
+                     k_modes, power, float(tol), subspace_iters,
+                     surrogate_dist)
+
+        def build():
+            def one_batch(seed_batch):
+                s = seed_batch[0, 0]
+                k = jax.random.PRNGKey(s.astype(jnp.uint32))
+                var, total, conv = _fast.fast_surrogate_variance_gen(
+                    s, k, n_obs, n_vars, H=hilbert_H,
+                    complexify=complexify, rotated=rotated,
+                    n_rot=k_modes, power=power, tol=tol,
+                    n_iter=subspace_iters, dist=surrogate_dist,
+                )
+                return var[None], total[None], conv[None]
+            return one_batch
+
+        # NOT vmapped: a batching rule over the Pallas generation kernels
+        # buys nothing (batch=1 pipelines best, see bench history) and
+        # each run is a single fused dispatch anyway
+        fn = _cached_ensemble_fn(cache_key, build, vmapped=False)
+        # distinct odd-spaced int32 seeds per run (field seeds are 2s,
+        # 2s+1 inside the kernel pipeline)
+        base = (int(seed) * 2654435761) % (2 ** 32)
+        seeds = (np.uint32(base)
+                 + np.arange(n_runs, dtype=np.uint32)).astype(np.int32)
+        spectra, totals, converged = _ensemble_map(
+            fn, seeds[:, None], 1, mesh=mesh, axis=ensemble_axis,
+            progress=progress,
+        )
+        keep = np.asarray(converged)
+        return spectra[keep], totals[keep]
+
     if batch_size is None:
         batch_size = _auto_batch(
             n_runs, n_obs, sum(n_vars), dtype.itemsize * (2 if complexify
