@@ -259,13 +259,12 @@ class MCA:
             data's own dtype (quantizing *real* data would bias it).
         surrogate_source : {'draw', 'generated'}, optional
             How Rule-N surrogate fields come to exist.  'draw'
-            materializes jax.random fields and runs the standard
-            pipeline.  'generated' (auto-default on the TPU fast path)
-            never materializes them: Pallas kernels generate tiles from
-            the on-core hardware PRNG inside the Gram/projection
-            contractions (xmca_tpu.ops.surrogate) — the dominant
-            per-surrogate cost (drawing and streaming two (n, p) fields
-            through HBM) disappears.
+            materializes threefry Gaussian fields with jax.random.
+            'generated' (auto-default on the TPU fast path) draws them
+            as moment-matched bit transforms of the hardware-backed
+            'rbg' generator (xmca_tpu.ops.surrogate.bits_field) — ~5x
+            cheaper than a Gaussian draw, which dominates the
+            per-surrogate cost at production shapes.
         surrogate_gen_dist : {'normal32', 'rademacher'}, optional
             Draw distribution of generated surrogates.  'normal32'
             (default) is a popcount-binomial matched to N(0, 1) in its

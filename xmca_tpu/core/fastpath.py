@@ -241,6 +241,35 @@ def fast_rotated_loadings_analytic(Xl, Xr, H, key, n_rot, n_iter=8,
     return L
 
 
+@partial(jax.jit, static_argnames=('n_rot', 'n_iter', 'bivariate'))
+def fast_rotated_loadings(Xl, Xr, key, n_rot, n_iter=8, jitter_rel=1e-6,
+                          bivariate=True):
+    """Stage-A of the two-stage REAL rotated ensemble: loadings only.
+
+    Real-field counterpart of :func:`fast_rotated_loadings_analytic` —
+    Cholesky-reduced kernel, subspace SVD, spatial back-projection,
+    sqrt-eigenvalue scaling; rotation happens in stage B
+    (:func:`rotated_variance_from_loadings`), batched across the whole
+    ensemble.
+    """
+    if Xr is None or not bivariate:
+        Xr = Xl
+    M, La, Lb = reduced_kernel(Xl, Xr, jitter_rel)
+    U, s, V = subspace_svd(M, key, k=n_rot, n_iter=n_iter)
+    Zl = jax.scipy.linalg.solve_triangular(La.conj().T, U, lower=False)
+    Vl = Xl.conj().T @ Zl
+    sqrt_s = jnp.sqrt(s).astype(Vl.dtype)
+    if bivariate:
+        Zr = jax.scipy.linalg.solve_triangular(
+            Lb.conj().T, V, lower=False
+        )
+        Vr = Xr.conj().T @ Zr
+        L = jnp.concatenate([Vl, Vr], axis=0) * sqrt_s[None, :]
+    else:
+        L = Vl * sqrt_s[None, :]
+    return L
+
+
 @partial(jax.jit, static_argnames=('n_vars_left', 'power', 'bivariate',
                                    'polar_method'))
 def rotated_variance_from_loadings(L, n_vars_left, power=1, tol=1e-8,
@@ -282,7 +311,9 @@ def temporal_gram(X, jitter_rel=1e-6):
     accumulation scales like ``eps * sqrt(p)`` relative to the diagonal,
     so the effective jitter is ``max(jitter_rel, 8 eps sqrt(p))``.
     """
-    G = _dot_hi(X, X.conj().T)
+    # dtype-aware contraction: bfloat16 data accumulates into float32
+    # (the Gram feeds Cholesky, which has no low-precision kernel)
+    G = _data_dot(X, X.conj().T)
     return _jitter(G, X.shape[1], jitter_rel,
                    input_eps=jnp.finfo(X.dtype).eps)
 
@@ -300,22 +331,62 @@ def reduced_kernel(Xl, Xr, jitter_rel=1e-6):
     return M, La, Lb
 
 
-@partial(jax.jit, static_argnames=('k', 'n_iter', 'oversample'))
-def subspace_svd(M, key, k, n_iter=8, oversample=16):
+def _orthonormalize(Y, method):
+    """Orthonormal basis of the thin (n, kk) block ``Y``.
+
+    ``'qr'`` — Householder QR (LAPACK-grade; CPU/f64 default).
+    ``'cholqr2'`` — two rounds of Cholesky-QR: ``R = chol(Y^H Y)``,
+    ``Q = Y R^-H`` (matmul + kk x kk chol + triangular solve — every op
+    MXU-friendly, ~10x faster than thin QR on TPU).  One round squares
+    the block's condition number; the second round restores
+    orthogonality to working precision (CholQR2, Yamamoto et al. 2015).
+    Subspace-iteration blocks are jitter-regularized and re-orthogonalized
+    every step, so the squared condition number stays far from overflow.
+    """
+    if method == 'qr':
+        Q, _ = jnp.linalg.qr(Y)
+        return Q
+
+    def one_round(Y):
+        G = _dot_hi(Y.conj().T, Y)
+        # tiny relative ridge keeps the kk x kk Cholesky positive
+        # definite when the block is nearly rank-deficient
+        d = jnp.mean(jnp.real(jnp.diagonal(G)))
+        eps = float(jnp.finfo(G.dtype).eps)
+        G = G + (8.0 * eps) * d * jnp.eye(G.shape[0], dtype=G.dtype)
+        R = jnp.linalg.cholesky(G)
+        # invert the tiny kk x kk triangle and apply it as a tall MXU
+        # matmul (a triangular solve against the wide block would run
+        # substitution-serial on TPU)
+        Rinv = jax.scipy.linalg.solve_triangular(
+            R, jnp.eye(R.shape[0], dtype=R.dtype), lower=True
+        )
+        return _dot_hi(Y, Rinv.conj().T)
+
+    return one_round(one_round(Y))
+
+
+@partial(jax.jit, static_argnames=('k', 'n_iter', 'oversample', 'orth'))
+def subspace_svd(M, key, k, n_iter=8, oversample=16, orth=None):
     """Leading-k singular triplets of square ``M`` by subspace iteration.
 
-    All heavy ops are matmuls; the only factorizations are thin QR
-    (n x (k+oversample)) and one small eigh.  Oversampling absorbs the
+    All heavy ops are matmuls; the only factorizations are the block
+    orthonormalization (see :func:`_orthonormalize`; thin QR on CPU,
+    CholQR2 on TPU) and one small eigh.  Oversampling absorbs the
     slowly-converging directions of clustered spectra so the returned k
     triplets stay accurate.  Returns (U (n,k), s (k,), V (m,k)).
     """
+    if orth is None:
+        orth = 'cholqr2' if jax.default_backend() == 'tpu' else 'qr'
     n, m = M.shape
     kk = min(k + oversample, n, m)
     real_dtype = jnp.finfo(M.dtype).dtype
     omega = jax.random.normal(key, (m, kk), dtype=real_dtype).astype(M.dtype)
-    Q, _ = jnp.linalg.qr(_dot_hi(M, omega))
+    Q = _orthonormalize(_dot_hi(M, omega), orth)
     for _ in range(n_iter):
-        Q, _ = jnp.linalg.qr(_dot_hi(M, _dot_hi(M.conj().T, Q)))
+        Q = _orthonormalize(
+            _dot_hi(M, _dot_hi(M.conj().T, Q)), orth
+        )
     B = _dot_hi(Q.conj().T, M)               # (kk, m)
     # small eigendecomposition of B B^H gives the Ritz values/vectors
     w, W = jnp.linalg.eigh(_dot_hi(B, B.conj().T))

@@ -231,14 +231,15 @@ def rule_n_spectra(n_obs, n_vars, n_runs, *, complexify=False, rotated=False,
     (xmca/array.py:1753-1765): surrogates with the *original* (unpacked)
     variable counts are solved (and rotated) as a device ensemble.
 
-    ``surrogate_source='draw'`` draws the noise fields with jax.random
-    and runs them through the standard pipeline in vmapped batches.
-    ``surrogate_source='generated'`` (the TPU production path) never
-    materializes the fields: per-run Pallas kernels generate tiles from
-    the on-core hardware PRNG inside the Gram/projection contractions
-    (``xmca_tpu.ops.surrogate``), with the draw distribution
-    ``surrogate_dist`` ('normal32' moment-matched popcount-binomial, or
-    'rademacher').
+    ``surrogate_source='draw'`` draws threefry Gaussian noise fields
+    with jax.random and runs them through the standard pipeline in
+    vmapped batches.  ``surrogate_source='generated'`` (the TPU
+    production path) draws them as moment-matched bit transforms of
+    the hardware-backed 'rbg' generator
+    (``xmca_tpu.ops.surrogate.bits_field``) with distribution
+    ``surrogate_dist`` ('normal32' popcount-binomial, or 'rademacher')
+    — ~5x cheaper than Gaussian draws, which dominate the
+    per-surrogate cost at production shapes.
 
     Returns
     -------
@@ -253,41 +254,13 @@ def rule_n_spectra(n_obs, n_vars, n_runs, *, complexify=False, rotated=False,
     dtype = np.dtype(dtype)
 
     if surrogate_source == 'generated' and spectrum == 'fast':
-        hilbert_H = _device_hilbert(n_obs, np.float32) if complexify \
-            else None
-        k_modes = n_rot if rotated else n_modes_fast
-        cache_key = ('rule_n_gen', n_obs, n_vars, complexify, rotated,
-                     k_modes, power, float(tol), subspace_iters,
-                     surrogate_dist)
-
-        def build():
-            def one_batch(seed_batch):
-                s = seed_batch[0, 0]
-                k = jax.random.PRNGKey(s.astype(jnp.uint32))
-                var, total, conv = _fast.fast_surrogate_variance_gen(
-                    s, k, n_obs, n_vars, H=hilbert_H,
-                    complexify=complexify, rotated=rotated,
-                    n_rot=k_modes, power=power, tol=tol,
-                    n_iter=subspace_iters, dist=surrogate_dist,
-                )
-                return var[None], total[None], conv[None]
-            return one_batch
-
-        # NOT vmapped: a batching rule over the Pallas generation kernels
-        # buys nothing (batch=1 pipelines best, see bench history) and
-        # each run is a single fused dispatch anyway
-        fn = _cached_ensemble_fn(cache_key, build, vmapped=False)
-        # distinct odd-spaced int32 seeds per run (field seeds are 2s,
-        # 2s+1 inside the kernel pipeline)
-        base = (int(seed) * 2654435761) % (2 ** 32)
-        seeds = (np.uint32(base)
-                 + np.arange(n_runs, dtype=np.uint32)).astype(np.int32)
-        spectra, totals, converged = _ensemble_map(
-            fn, seeds[:, None], 1, mesh=mesh, axis=ensemble_axis,
+        return _rule_n_generated(
+            n_obs, n_vars, n_runs, complexify=complexify,
+            rotated=rotated, n_rot=n_rot, power=power, tol=tol,
+            seed=seed, n_modes_fast=n_modes_fast,
+            subspace_iters=subspace_iters, dist=surrogate_dist,
             progress=progress,
         )
-        keep = np.asarray(converged)
-        return spectra[keep], totals[keep]
 
     if batch_size is None:
         batch_size = _auto_batch(
@@ -327,6 +300,62 @@ def rule_n_spectra(n_obs, n_vars, n_runs, *, complexify=False, rotated=False,
     spectra, totals, converged = _ensemble_map(
         fn, keys, batch_size, mesh=mesh, axis=ensemble_axis,
         progress=progress,
+    )
+    keep = np.asarray(converged)
+    return spectra[keep], totals[keep]
+
+
+def _rule_n_generated(n_obs, n_vars, n_runs, *, complexify, rotated,
+                      n_rot, power, tol, seed, n_modes_fast,
+                      subspace_iters, dist, progress=None):
+    """The single-device TPU Rule-N production pipeline.
+
+    The standard fused per-surrogate solve, with the Gaussian draws
+    replaced by cheap bit-transform draws
+    (``xmca_tpu.ops.surrogate.bits_field`` — ~5x cheaper; the draws
+    dominate the drawn pipeline's cost at production shapes).
+
+    Structure notes, both measured on a v5e chip at (2000, 2 x 100k):
+
+    * one fused program per run, dispatched ``batch_size=1`` — batching
+      runs couples their varimax ``while_loop`` tails (every lane
+      iterates until the slowest converges) and loses ~20%;
+    * the per-run program is built as ``jit(vmap(one_run))`` over a
+      single-element batch: XLA's batched lowering of the rotation
+      fixed point compiles to a ~2x faster loop body than the unbatched
+      lowering of the very same function (55 -> 104 ms/run without it).
+    """
+    from xmca_tpu.ops.surrogate import bits_field
+
+    hilbert_H = _device_hilbert(n_obs, np.float32) if complexify \
+        else None
+    base = (int(seed) * 2654435761) % (2 ** 32)
+    seeds = (np.uint32(base)
+             + np.arange(n_runs, dtype=np.uint32)).astype(np.int32)
+
+    cache_key = ('rule_n_gen', n_obs, n_vars, complexify, rotated,
+                 n_rot, power, float(tol), n_modes_fast,
+                 subspace_iters, dist)
+
+    def build():
+        def one_run(seed_row):
+            s = seed_row[0]
+            k = jax.random.PRNGKey(s.astype(jnp.uint32))
+            fields = [
+                bits_field(s * 2 + i, (n_obs, p), dist=dist)
+                for i, p in enumerate(n_vars)
+            ]
+            return _surrogate_variance(
+                fields, complexify, rotated, n_rot, power, tol,
+                'gram', spectrum='fast', n_modes_fast=n_modes_fast,
+                subspace_iters=subspace_iters, fast_key=k,
+                hilbert_H=hilbert_H,
+            )
+        return one_run
+
+    fn = _cached_ensemble_fn(cache_key, build)
+    spectra, totals, converged = _ensemble_map(
+        fn, seeds[:, None], 1, progress=progress,
     )
     keep = np.asarray(converged)
     return spectra[keep], totals[keep]
