@@ -132,6 +132,20 @@ def test_hilbert_matches_scipy(xy):
         assert_allclose(ours, ref, atol=1e-12)
 
 
+def test_hilbert_circulant_long_axis_matches_scipy():
+    """The > _HILBERT_MATMUL_MAX_N route: power-of-two-FFT circular
+    convolution (TPU's exact long-time-axis path), space chunked."""
+    from scipy.signal import hilbert
+    from xmca_tpu.core.preprocess import _analytic_signal_circulant
+    rng = np.random.default_rng(3)
+    for n in (777, 1000):            # odd + even, both non-power-of-two
+        X = rng.standard_normal((n, 13))
+        ours = np.asarray(_analytic_signal_circulant(
+            jnp.asarray(X), chunk=5   # force the chunked branch
+        ))
+        assert_allclose(ours, hilbert(X, axis=0), atol=1e-10)
+
+
 def test_varimax_matches_reference_math(xy):
     Xl, Xr = xy
     s, Vl, Vr = np_reference_solve(Xl, Xr)

@@ -1,36 +1,7 @@
-"""Pallas Gram kernel correctness (XLA-fallback path on CPU; the TPU
-kernel itself is exercised on hardware via benchmarks)."""
+"""Cross-checks of the fastpath stage-split ensemble surface."""
 import numpy as np
 import jax.numpy as jnp
 from numpy.testing import assert_allclose
-
-from xmca_tpu.ops.gram import fused_center_gram, gram_matmul
-
-
-def test_fused_center_gram_matches_reference():
-    rng = np.random.default_rng(0)
-    n, p, q = 96, 130, 70
-    X = rng.standard_normal((n, p)).astype(np.float32)
-    Y = rng.standard_normal((n, q)).astype(np.float32)
-    mu_x = X.mean(0)
-    mu_y = Y.mean(0)
-    w_x = rng.uniform(0.5, 2.0, p).astype(np.float32)
-    w_y = rng.uniform(0.5, 2.0, q).astype(np.float32)
-
-    out = np.asarray(fused_center_gram(
-        jnp.asarray(X), jnp.asarray(Y), jnp.asarray(mu_x),
-        jnp.asarray(mu_y), jnp.asarray(w_x), jnp.asarray(w_y),
-    ))
-    ref = ((X - mu_x) * w_x).T @ ((Y - mu_y) * w_y)
-    assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
-
-
-def test_gram_matmul_plain():
-    rng = np.random.default_rng(1)
-    X = rng.standard_normal((64, 40)).astype(np.float32)
-    Y = rng.standard_normal((64, 24)).astype(np.float32)
-    out = np.asarray(gram_matmul(jnp.asarray(X), jnp.asarray(Y)))
-    assert_allclose(out, X.T @ Y, rtol=1e-5, atol=1e-4)
 
 
 def test_stage_split_loadings_match_fused():

@@ -29,6 +29,59 @@ def _analytic_weights(n, dtype):
 
 
 _HILBERT_MATMUL_MAX_N = 8192
+_ANALYTIC_KERNEL_CACHE = {}
+
+
+def _analytic_circulant_kernel(n, m, dtype):
+    """Padded frequency response of the analytic transform as a length-m
+    circular/linear convolution kernel.
+
+    The analytic-signal operator ``A = F_n^-1 diag(h) F_n`` is circulant
+    — applying it is a length-n circular convolution with
+    ``a = ifft(h)``.  Circular convolution embeds exactly into a linear
+    convolution of the doubled signal ``[x; x]``: outputs ``n..2n-1``
+    of ``[x; x] * a`` equal the circular result.  Evaluating THAT with
+    a power-of-two FFT of length ``m >= 3n - 1`` sidesteps XLA's slow
+    Bluestein lowering of arbitrary-length FFTs on TPU — the route to
+    exact long-time-axis complexification (the matmul Hilbert operator
+    would need an (n, n) dense H: 1 GB at n=16k).
+
+    Built once per (n, m) on host in float64; returns ``fft(a, m)``.
+    """
+    key = (int(n), int(m), np.dtype(dtype).str)
+    if key not in _ANALYTIC_KERNEL_CACHE:
+        a = np.fft.ifft(_analytic_weights(n, np.float64))
+        a_pad = np.zeros(m, np.complex128)
+        a_pad[:n] = a
+        _ANALYTIC_KERNEL_CACHE[key] = np.fft.fft(a_pad).astype(
+            np.result_type(dtype, np.complex64)
+        )
+    return _ANALYTIC_KERNEL_CACHE[key]
+
+
+def _analytic_signal_circulant(x, chunk=2048):
+    """Analytic signal via power-of-two-FFT circular convolution.
+
+    Exact for any time length; processes the space axis in chunks so
+    the padded spectra never exceed ``m x chunk`` complex elements.
+    """
+    n, p = x.shape
+    real_dtype = jnp.finfo(x.dtype).dtype
+    m = 1 << int(np.ceil(np.log2(3 * n - 1)))
+    K = jnp.asarray(_analytic_circulant_kernel(n, m, real_dtype))
+
+    @jax.jit
+    def apply(xc):
+        z = jnp.concatenate([xc, xc], axis=0)
+        zf = jnp.fft.fft(z, n=m, axis=0)
+        return jnp.fft.ifft(zf * K[:, None], axis=0)[n:2 * n]
+
+    if p <= chunk:
+        return apply(x)
+    outs = [
+        apply(x[:, s:s + chunk]) for s in range(0, p, chunk)
+    ]
+    return jnp.concatenate(outs, axis=1)
 
 
 @jax.jit
@@ -37,24 +90,24 @@ def analytic_signal(x):
 
     Equivalent of ``scipy.signal.hilbert(x, axis=0)`` (reference call
     site: xmca/array.py:464).  On CPU this is the batched FFT; on TPU,
-    mixed-radix FFTs lower to slow Bluestein convolutions, so for
-    real input and moderate time lengths the transform runs as one MXU
-    matmul with the real Hilbert operator: ``z = x + i (H x)``
-    (exact — H is built from float64 FFTs on host; see
-    ``xmca_tpu.core.fastpath.hilbert_imag_matrix``).
+    mixed-radix FFTs lower to slow Bluestein convolutions, so real
+    input runs as one MXU matmul with the real Hilbert operator
+    (``z = x + i (H x)``, exact — H built from float64 FFTs on host,
+    see ``xmca_tpu.core.fastpath.hilbert_imag_matrix``) up to
+    ``_HILBERT_MATMUL_MAX_N`` time steps, and as an exact
+    power-of-two-FFT circular convolution beyond that
+    (:func:`_analytic_signal_circulant`) — no Bluestein at any length.
     """
     n = x.shape[0]
     real_dtype = jnp.finfo(x.dtype).dtype
-    use_matmul = (
-        jax.default_backend() != 'cpu'
-        and not jnp.iscomplexobj(x)
-        and n <= _HILBERT_MATMUL_MAX_N
-    )
-    if use_matmul:
-        from xmca_tpu.core.fastpath import hilbert_imag_matrix
-        H = jnp.asarray(hilbert_imag_matrix(n, real_dtype))
-        imag = jnp.matmul(H, x, precision=jax.lax.Precision.HIGHEST)
-        return x + 1j * imag
+    on_accel = jax.default_backend() != 'cpu'
+    if on_accel and not jnp.iscomplexobj(x):
+        if n <= _HILBERT_MATMUL_MAX_N:
+            from xmca_tpu.core.fastpath import hilbert_imag_matrix
+            H = jnp.asarray(hilbert_imag_matrix(n, real_dtype))
+            imag = jnp.matmul(H, x, precision=jax.lax.Precision.HIGHEST)
+            return x + 1j * imag
+        return _analytic_signal_circulant(x)
     Xf = jnp.fft.fft(x, axis=0)
     h = _analytic_weights(n, real_dtype)
     return jnp.fft.ifft(Xf * h[:, None], axis=0)
