@@ -161,19 +161,23 @@ def bench_significance():
     Xl, Xr = _fields(jax, 492, 684, 684)
     m = MCA(Xl, Xr)
     m.solve()
-    m.rule_n(2, seed=0, disable_progress=True)  # warm
+    # warm at the FULL ensemble size: the gather/rescale tail compiles
+    # per run count
+    m.rule_n(n_runs, seed=0, disable_progress=True)
     t0 = time.perf_counter()
     rn = m.rule_n(n_runs, seed=1, disable_progress=True)
     _emit('rulen_exact_runs_per_s', time.perf_counter() - t0,
           {'runs': int(rn.shape[1])})
     m.set_solver(spectrum='fast')
-    m.rule_n(2, n_modes=20, seed=0, disable_progress=True)  # warm
+    m.rule_n(n_runs, n_modes=20, seed=0, disable_progress=True)  # warm
     t0 = time.perf_counter()
     rn = m.rule_n(n_runs, n_modes=20, seed=1, disable_progress=True)
     _emit('rulen_fast_runs_per_s', time.perf_counter() - t0,
           {'runs': int(rn.shape[1])})
-    m.set_solver(spectrum='exact')
-    m.bootstrapping(4, 3, block_size=4, disable_progress=True, seed=2)
+    # bootstrap keeps the backend-default spectrum ('fast' on TPU:
+    # dense eigh per resample would be the pathological path there)
+    m.bootstrapping(n_runs, 3, block_size=4, disable_progress=True,
+                    seed=2)  # warm at full ensemble size
     t0 = time.perf_counter()
     bs = m.bootstrapping(
         n_runs, 3, block_size=4, disable_progress=True, seed=3
@@ -182,12 +186,44 @@ def bench_significance():
           {'runs': int(bs.shape[1])})
 
 
+def bench_hilbert_long():
+    """Config 6: complexification with a LONG time axis (16k steps).
+
+    Exercises the power-of-two circular-convolution route (the dense
+    Hilbert operator would be a 1 GB matrix at this length, and XLA's
+    native FFT would lower to slow Bluestein convolutions for the
+    non-power-of-two length).
+    """
+    jax, on_tpu = _setup()
+    import jax.numpy as jnp
+    from xmca_tpu.core.preprocess import complexify
+    n_obs = 16_000                       # deliberately not a power of 2
+    p = 20_000 if on_tpu else 64
+    Xl, _ = _fields(jax, n_obs, p, 1)
+    jXl = jnp.asarray(Xl)
+    jXl = jXl - jXl.mean(0)
+
+    def run(x):
+        z = complexify(x)
+        # dependent scalar readback = honest execution barrier
+        return float(jnp.sum(jnp.abs(z) ** 2).astype(jnp.float32))
+
+    run(jXl)                             # warm (compile)
+    t0 = time.perf_counter()
+    total = run(jXl)
+    wall = time.perf_counter() - t0
+    assert np.isfinite(total)
+    _emit('hilbert_complexify_16k_steps_s', wall,
+          {'n_obs': n_obs, 'n_space': p})
+
+
 ALL = {
     'airtemp': bench_airtemp,
     'rotation': bench_rotation,
     'cplx_theta': bench_cplx_theta,
     'cplx_rot_large': bench_cplx_rot_large,
     'significance': bench_significance,
+    'hilbert_long': bench_hilbert_long,
 }
 
 if __name__ == '__main__':

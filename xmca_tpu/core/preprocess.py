@@ -59,18 +59,20 @@ def _analytic_circulant_kernel(n, m, dtype):
     return _ANALYTIC_KERNEL_CACHE[key]
 
 
-def _analytic_signal_circulant(x, chunk=2048):
+def _analytic_signal_circulant(x, chunk=1024):
     """Analytic signal via power-of-two-FFT circular convolution.
 
-    Exact for any time length; processes the space axis in chunks so
-    the padded spectra never exceed ``m x chunk`` complex elements.
+    Exact for any time length; the space axis is processed through
+    ``lax.map`` (sequential, NOT an unrolled Python loop — unrolling
+    would keep every chunk's padded spectrum live at once and exhaust
+    HBM at 16k x 20k shapes) so peak memory is one ``m x chunk``
+    complex spectrum plus the output.
     """
     n, p = x.shape
     real_dtype = jnp.finfo(x.dtype).dtype
     m = 1 << int(np.ceil(np.log2(3 * n - 1)))
     K = jnp.asarray(_analytic_circulant_kernel(n, m, real_dtype))
 
-    @jax.jit
     def apply(xc):
         z = jnp.concatenate([xc, xc], axis=0)
         zf = jnp.fft.fft(z, n=m, axis=0)
@@ -78,10 +80,15 @@ def _analytic_signal_circulant(x, chunk=2048):
 
     if p <= chunk:
         return apply(x)
-    outs = [
-        apply(x[:, s:s + chunk]) for s in range(0, p, chunk)
-    ]
-    return jnp.concatenate(outs, axis=1)
+    pad = (-p) % chunk
+    xp = jnp.pad(x, ((0, 0), (0, pad))) if pad else x
+    n_chunks = (p + pad) // chunk
+    stacked = jnp.moveaxis(
+        xp.reshape(n, n_chunks, chunk), 1, 0
+    )
+    out = jax.lax.map(apply, stacked)
+    out = jnp.moveaxis(out, 0, 1).reshape(n, n_chunks * chunk)
+    return out[:, :p]
 
 
 @jax.jit
