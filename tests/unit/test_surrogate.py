@@ -81,6 +81,20 @@ def test_draw_moments(dist):
         assert abs((flat ** 4).mean() - (3.0 - 1.0 / 16.0)) < 5e-2
 
 
+def test_bits_field_normal16_moments():
+    """The production draw: standardized Binomial(16, 1/2) from 16-bit
+    random words (half the generated bits of normal32)."""
+    from xmca_tpu.ops.surrogate import bits_field
+    X = np.asarray(
+        bits_field(jnp.int32(23), (256, 2048))
+    ).astype(np.float64)
+    assert abs(X.mean()) < 5e-3
+    assert abs(X.var() - 1.0) < 5e-3
+    flat = X.ravel()
+    assert abs((flat ** 3).mean()) < 2e-2
+    assert abs((flat ** 4).mean() - (3.0 - 1.0 / 8.0)) < 5e-2
+
+
 def test_gen_surrogate_variance_matches_draw_statistics():
     """Generated vs drawn Rule-N nulls agree in distribution."""
     from xmca_tpu.core.fastpath import (fast_surrogate_variance_gen,

@@ -138,7 +138,7 @@ class MCA:
         self._solver_seed = 0
         self._surrogate_dtype = None
         self._surrogate_source = None          # auto (see rule_n)
-        self._surrogate_gen_dist = 'normal32'
+        self._surrogate_gen_dist = 'normal16'
 
     # ------------------------------------------------------------ ingestion
     def _set_field_meta(self, data):
@@ -265,11 +265,12 @@ class MCA:
             'rbg' generator (xmca_tpu.ops.surrogate.bits_field) — ~5x
             cheaper than a Gaussian draw, which dominates the
             per-surrogate cost at production shapes.
-        surrogate_gen_dist : {'normal32', 'rademacher'}, optional
-            Draw distribution of generated surrogates.  'normal32'
-            (default) is a popcount-binomial matched to N(0, 1) in its
-            first three moments (excess kurtosis -1/16); 'rademacher' is
-            +-1.  Null spectra are universal in the first two moments at
+        surrogate_gen_dist : {'normal16', 'normal32', 'rademacher'},
+            optional.  Draw distribution of generated surrogates.
+            'normal16' (default) and 'normal32' are popcount-binomials
+            matched to N(0, 1) in their first three moments (excess
+            kurtosis -1/8 and -1/16; the 16-bit variant halves the
+            generated random bits); 'rademacher' is +-1.  Null spectra are universal in the first two moments at
             these dimensions; equivalence to Gaussian draws is measured
             in tests/integration/test_significance.py.
         """
@@ -301,10 +302,11 @@ class MCA:
                 )
             self._surrogate_source = surrogate_source
         if surrogate_gen_dist is not None:
-            if surrogate_gen_dist not in ('normal32', 'rademacher'):
+            if surrogate_gen_dist not in ('normal16', 'normal32',
+                                          'rademacher'):
                 raise ValueError(
-                    "surrogate_gen_dist must be 'normal32' or "
-                    "'rademacher'"
+                    "surrogate_gen_dist must be 'normal16', "
+                    "'normal32' or 'rademacher'"
                 )
             self._surrogate_gen_dist = surrogate_gen_dist
 
@@ -721,14 +723,22 @@ class MCA:
             max_mode = n.stop if isinstance(n, slice) else n
 
         keep_modes = self._get_slice(n)
-        V = self._get_V(max_mode, rotated=False)
+        dev = getattr(self, '_V_dev', None)
+        V_host = None if dev is not None else self._get_V(
+            max_mode, rotated=False
+        )
         sqrt_svals = np.sqrt(self._get_svals(max_mode))
         R = self.rotation_matrix(inverse_transpose=True)
 
         U = {}
         for k in self._keys:
-            # PC time series: one device matmul per field
-            Uk = _to_np(self._fields[k] @ _to_dev(V[k]))
+            # PC time series: one device matmul per field, consuming the
+            # device-resident singular vectors when solve left them there
+            if dev is not None:
+                Vk = dev[k][:, :max_mode]
+            else:
+                Vk = _to_dev(V_host[k])
+            Uk = _to_np(self._fields[k] @ Vk)
             Uk = Uk / sqrt_svals
             if rotated:
                 Uk = Uk @ R

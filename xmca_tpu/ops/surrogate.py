@@ -51,15 +51,30 @@ def _ceil_to(x, m):
 
 
 def _bits_to_draw(bits, dist):
-    """uint32 random bits -> bfloat16 surrogate values (VPU ops only)."""
+    """Random bits -> bfloat16 surrogate values (VPU ops only).
+
+    ``normal32`` / ``normal16``: standardized popcount-binomial —
+    Binomial(b, 1/2) matches N(0, 1) in its first three moments with
+    excess kurtosis ``-2/b``.  ``normal16`` consumes half the random
+    bits (the draw is bandwidth-bound at production shapes) for a
+    still-negligible kurtosis deficit of -1/8.
+    """
     if dist == 'rademacher':
         return jnp.where(
-            (bits & np.uint32(1)).astype(jnp.int32) == 1,
+            (bits.astype(jnp.uint32) & np.uint32(1)).astype(jnp.int32)
+            == 1,
             jnp.bfloat16(1.0), jnp.bfloat16(-1.0),
         )
     if dist == 'normal32':
-        pc = jax.lax.population_count(bits).astype(jnp.float32)
+        pc = jax.lax.population_count(
+            bits.astype(jnp.uint32)
+        ).astype(jnp.float32)
         return ((pc - 16.0) * _INV_SQRT8).astype(jnp.bfloat16)
+    if dist == 'normal16':
+        pc = jax.lax.population_count(
+            bits.astype(jnp.uint32) & np.uint32(0xFFFF)
+        ).astype(jnp.float32)
+        return ((pc - 8.0) * 0.5).astype(jnp.bfloat16)
     raise ValueError(f'unknown surrogate distribution: {dist!r}')
 
 
@@ -225,19 +240,21 @@ def surrogate_project(seed, S, n, p, dist='normal32', block_p=512):
     return V[:p, :m]
 
 
-def bits_field(seed, shape, dist='normal32', impl='rbg'):
+def bits_field(seed, shape, dist='normal16', impl='rbg'):
     """Materialized surrogate field from cheap bit transforms (pure XLA).
 
     The production surrogate generator: ``jax.random.bits`` with the
     hardware-backed ``rbg`` implementation plus a popcount/sign map is
     ~5x cheaper than a threefry Gaussian draw on TPU (3.8 ms vs 17.8 ms
-    per (2000, 100k) bfloat16 field) and XLA fuses the bit transform
+    per (2000, 100k) bfloat16 field at 32-bit; 'normal16' halves the
+    generated bits for another ~30%) and XLA fuses the bit transform
     into the consumer.  ``seed`` may be a traced int32 scalar.
     """
     key = jax.random.key(
         jnp.asarray(seed).astype(jnp.uint32), impl=impl
     )
-    bits = jax.random.bits(key, shape, jnp.uint32)
+    bits_dtype = jnp.uint16 if dist == 'normal16' else jnp.uint32
+    bits = jax.random.bits(key, shape, bits_dtype)
     return _bits_to_draw(bits, dist)
 
 

@@ -223,7 +223,7 @@ def rule_n_spectra(n_obs, n_vars, n_runs, *, complexify=False, rotated=False,
                    method='gram', seed=None, batch_size=None, mesh=None,
                    ensemble_axis='ensemble', spectrum='exact',
                    n_modes_fast=None, subspace_iters=12,
-                   surrogate_source='draw', surrogate_dist='normal32',
+                   surrogate_source='draw', surrogate_dist='normal16',
                    progress=None):
     """Rule-N surrogate variance spectra (Overland & Preisendorfer 1982).
 
@@ -237,7 +237,7 @@ def rule_n_spectra(n_obs, n_vars, n_runs, *, complexify=False, rotated=False,
     production path) draws them as moment-matched bit transforms of
     the hardware-backed 'rbg' generator
     (``xmca_tpu.ops.surrogate.bits_field``) with distribution
-    ``surrogate_dist`` ('normal32' popcount-binomial, or 'rademacher')
+    ``surrogate_dist`` ('normal16'/'normal32' popcount-binomial, or 'rademacher')
     — ~5x cheaper than Gaussian draws, which dominate the
     per-surrogate cost at production shapes.
 
