@@ -1,0 +1,111 @@
+"""On-chip verification of the TPU-only code paths.
+
+Run on a machine with a real TPU (``python scripts/tpu_checks.py``);
+the CPU test suite cannot exercise these:
+
+1. The Pallas surrogate kernels (``xmca_tpu.ops.surrogate``): the fused
+   Gram/projection outputs must equal plain XLA contractions of the
+   very same field, materialized through ``surrogate_field`` from the
+   identical per-tile hardware-PRNG streams.
+2. The matmul Hilbert operator and the long-axis circulant route
+   against the direct FFT formula.
+3. The end-to-end public north-star pipeline
+   (solve -> rotate -> rule_n) produces finite, converged output.
+
+Prints one PASS/FAIL line per check; exits non-zero on any failure.
+"""
+import sys
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, __file__.rsplit('/', 2)[0])
+    failures = []
+
+    def check(name, ok, detail=''):
+        print(f'{"PASS" if ok else "FAIL"} {name} {detail}', flush=True)
+        if not ok:
+            failures.append(name)
+
+    if jax.default_backend() != 'tpu':
+        print('no TPU backend — nothing to check here '
+              '(the CPU suite covers the fallback paths)')
+        return 0
+
+    # ---- 1. Pallas surrogate kernels vs their materialized field
+    from xmca_tpu.ops.surrogate import (centered_gram_from_raw,
+                                        surrogate_field, surrogate_gram,
+                                        surrogate_project)
+    n, p = 256, 1000
+    seed = jnp.int32(11)
+    G, mu, u, mumu = surrogate_gram(seed, n, p)
+    X = np.asarray(
+        surrogate_field(seed, n, p).astype(jnp.float32)
+    ).astype(np.float64)
+    err = abs(np.asarray(G) - X @ X.T).max() / abs(np.asarray(G)).max()
+    check('surrogate_gram == XLA gram of regenerated field',
+          err < 1e-6, f'(rel {err:.2e})')
+    err = abs(np.asarray(mu) - X.mean(0)).max()
+    check('surrogate_gram column means', err < 1e-6, f'(abs {err:.2e})')
+    Gc = np.asarray(centered_gram_from_raw(G, u, mumu))
+    Xc = X - X.mean(0)
+    err = abs(Gc - Xc @ Xc.T).max() / abs(Gc).max()
+    check('centered-Gram rank-1 correction', err < 1e-6,
+          f'(rel {err:.2e})')
+    S = np.random.default_rng(0).standard_normal((n, 5)).astype(
+        np.float32
+    )
+    V = np.asarray(surrogate_project(seed, jnp.asarray(S), n, p))
+    Sb = np.asarray(
+        jnp.asarray(S).astype(jnp.bfloat16).astype(jnp.float32)
+    ).astype(np.float64)
+    err = abs(V - X.T @ Sb).max() / abs(V).max()
+    check('surrogate_project == XLA projection of regenerated field',
+          err < 1e-5, f'(rel {err:.2e})')
+
+    # ---- 2. Hilbert routes against the direct FFT formula (device f32)
+    from xmca_tpu.core.preprocess import (_analytic_signal_circulant,
+                                          _analytic_weights,
+                                          analytic_signal)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((500, 64)).astype(np.float32)
+    h = _analytic_weights(500, np.float64)
+    ref = np.fft.ifft(np.fft.fft(x, axis=0) * h[:, None], axis=0)
+    ours = np.asarray(jnp.real(analytic_signal(jnp.asarray(x)))) \
+        + 1j * np.asarray(jnp.imag(analytic_signal(jnp.asarray(x))))
+    err = abs(ours - ref).max()
+    check('matmul Hilbert route', err < 1e-4, f'(abs {err:.2e})')
+    @jax.jit
+    def circulant_ri(x):
+        z = _analytic_signal_circulant(x, chunk=16)
+        return jnp.real(z), jnp.imag(z)
+
+    zr, zi = circulant_ri(jnp.asarray(x))
+    ours = np.asarray(zr) + 1j * np.asarray(zi)
+    err = abs(ours - ref).max()
+    check('circulant Hilbert route', err < 1e-4, f'(abs {err:.2e})')
+
+    # ---- 3. public pipeline smoke at reduced shapes
+    from xmca_tpu.array import MCA
+    A = rng.standard_normal((512, 40, 50)).astype(np.float32)
+    B = rng.standard_normal((512, 40, 50)).astype(np.float32)
+    m = MCA(A, B)
+    m.set_solver(truncate=6)
+    m.solve(complexify=True)
+    m.rotate(6)
+    surr = m.rule_n(16, seed=3, disable_progress=True)
+    surr = np.asarray(surr)
+    check('public solve->rotate->rule_n pipeline',
+          np.isfinite(surr).all() and surr.shape[0] == 6
+          and surr.shape[1] >= 14,
+          f'(kept {surr.shape[1]}/16 runs)')
+
+    return 1 if failures else 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -129,11 +129,15 @@ def test_projection_override_per_field(fake_cartopy, solved):
 def test_single_projection_applies_to_all(fake_cartopy, solved):
     proj = FakePlateCarree(central_longitude=30)
     fig, axes = solved.plot(1, projection=proj)
+    # the default-projection extent, for comparison
+    fig0, axes0 = solved.plot(1)
     for key in ('left', 'right'):
-        assert axes['eof'][key].geo_calls['extent'][0] == pytest.approx(
-            axes['eof'][key].geo_calls['extent'][0]
-        )
         assert isinstance(axes['eof'][key], FakeGeoAxes)
+        # the SHARED projection's central longitude shifts every
+        # field's extent relative to the default projection
+        assert axes['eof'][key].geo_calls['extent'][0] == pytest.approx(
+            axes0['eof'][key].geo_calls['extent'][0] + 30
+        )
 
 
 def test_vertical_orientation_with_cartopy(fake_cartopy, solved):

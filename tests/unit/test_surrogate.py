@@ -1,9 +1,9 @@
 """Unit tests of the fused surrogate-generation ops (XLA fallback path).
 
 On CPU these exercise the pure-XLA implementation of the same
-distributions; the Pallas kernels themselves are verified on-chip by
-the equality assertions in scripts/tpu_checks.py (surrogate_field
-regenerates the exact tiles the fused kernels consume, on any backend).
+distributions; the Pallas kernels themselves are verified on a real
+chip by ``python scripts/tpu_checks.py`` (surrogate_field regenerates
+the exact tiles the fused kernels consume, on any backend).
 """
 import numpy as np
 import pytest

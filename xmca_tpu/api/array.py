@@ -1113,13 +1113,12 @@ class MCA:
             )
         source = self._surrogate_source
         if source is None:
-            # auto: the fused Pallas generation pipeline on the
-            # single-device TPU fast path; materialized draws elsewhere
-            # (mesh ensembles shard drawn key batches; CPU gains nothing
-            # from generation and keeps exact Gaussian draws)
+            # auto: cheap bit-transform draws on the TPU fast path
+            # (mesh or not — the ensemble shards seed batches exactly
+            # like key batches); CPU gains nothing from generation and
+            # keeps exact Gaussian draws
             source = 'generated' if (
                 self._ensemble_spectrum == 'fast'
-                and self._ensemble_mesh is None
                 and jax.default_backend() == 'tpu'
             ) else 'draw'
         progress, close = self._progress_bar(n_runs, disable_progress)

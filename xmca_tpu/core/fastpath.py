@@ -514,14 +514,21 @@ def fast_surrogate_variance_gen(seed, key, n_obs, n_vars, H=None,
                                 polar_method='ns'):
     """One Rule-N surrogate solve with ON-THE-FLY field generation.
 
-    The Monte-Carlo endgame of the fast path: the surrogate fields are
-    never materialized at all.  ``xmca_tpu.ops.surrogate.surrogate_gram``
-    generates bfloat16 tiles from the on-core hardware PRNG inside a
-    Pallas kernel and accumulates the temporal Gram on the MXU; the
-    spatial loading back-projection regenerates identical tiles
-    (``surrogate_project``).  Everything downstream — Cholesky reduction,
-    subspace SVD, promax — operates on n x n / (p, k) arrays exactly like
+    The fully fused variant: the surrogate fields are never materialized
+    at all.  ``xmca_tpu.ops.surrogate.surrogate_gram`` generates
+    bfloat16 tiles from the on-core hardware PRNG inside a Pallas kernel
+    and accumulates the temporal Gram on the MXU; the spatial loading
+    back-projection regenerates identical tiles (``surrogate_project``).
+    Everything downstream — Cholesky reduction, subspace SVD, promax —
+    operates on n x n / (p, k) arrays exactly like
     :func:`fast_rotated_variance_analytic`.
+
+    NOT the production Rule-N path: measured slower than materialized
+    ``bits_field`` draws + XLA matmuls at MCA shapes (see
+    ``xmca_tpu.ops.surrogate`` and benchmarks/RESULTS.md); production
+    ensembles run ``stats.significance._rule_n_generated``.  Retained
+    for shapes/hardware where the fusion wins, with distribution-level
+    equivalence tested in tests/unit/test_surrogate.py.
 
     Centering is exact: the kernels accumulate the rank-1 terms so the
     centered Gram and centered projections are recovered algebraically

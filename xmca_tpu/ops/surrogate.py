@@ -1,36 +1,49 @@
-"""Pallas TPU kernels for Monte-Carlo surrogate ensembles.
+"""Surrogate-field generation for Monte-Carlo ensembles.
 
 The hot loop of Rule-N (reference: the host loop around
 ``np.random.rand`` + per-run solves, xmca/array.py:1753-1765) is, on
-TPU, dominated not by linear algebra but by *materializing the random
-fields*: a (2000, 100k) draw per field per run costs ~15 ms through
-XLA's PRNG plus an HBM round trip, while the temporal Gram it feeds
-costs ~5 ms.  These kernels never materialize the surrogate field at
-all:
+TPU, dominated not by linear algebra but by *drawing the random
+fields*: a (2000, 100k) threefry Gaussian draw costs 17.8 ms while the
+temporal Gram it feeds costs ~4.4 ms.
+
+**The production generator is** :func:`bits_field`: random words from
+the hardware-backed ``rbg`` bit generator mapped through a
+moment-matched popcount/sign transform (pure XLA, fused into the
+consumer; 3.8 ms per field at 32-bit words, less at 16).  The Rule-N
+pipeline (``xmca_tpu.stats.significance._rule_n_generated``) draws its
+surrogates this way.
+
+The Pallas kernels below go further and never materialize the field at
+all — generation happens inside the contractions:
 
 * :func:`surrogate_gram` seeds the on-core hardware PRNG, generates
   bfloat16 tiles of the surrogate field directly in VMEM, and
-  accumulates the temporal Gram ``X X^T`` on the MXU — the (n, p) field
-  never exists in HBM.  Column means and their projections are
-  accumulated alongside, so the *centered* Gram is recovered with a
-  rank-1 correction (see :func:`centered_gram_from_raw`).
+  accumulates the temporal Gram ``X X^T`` on the MXU; column means and
+  their projections are accumulated alongside, so the *centered* Gram
+  is recovered with a rank-1 correction
+  (:func:`centered_gram_from_raw`).
 * :func:`surrogate_project` re-seeds the same per-tile streams to
   REGENERATE identical field tiles and contracts them against a small
-  (n, m) matrix — the spatial loading back-projection ``X^T S`` —
-  again without the field ever touching HBM.
+  (n, m) matrix — the spatial loading back-projection ``X^T S``.
 
-Surrogate draw distribution: the hardware PRNG yields uint32 bits;
-``dist='normal32'`` maps them through a popcount to
-``(Binomial(32, 1/2) - 16) / sqrt(8)`` — zero mean, unit variance,
-zero skew, excess kurtosis -1/16 — whose Wishart/Marchenko-Pastur
-null spectra at MCA scales (p ~ 1e4..1e6 variables) are statistically
-indistinguishable from Gaussian draws (spectral universality needs
-only matching first two moments; see the quantile-equivalence test in
-tests/integration/test_significance.py).  ``dist='rademacher'`` maps a
-single bit to +-1.  Both are exactly representable in bfloat16 — the
-draw adds no quantization noise, unlike bfloat16-rounded Gaussians.
+They are correct on-chip (scripts/tpu_checks.py) but MEASURED SLOWER
+than `bits_field` + XLA's tuned matmul at MCA shapes (27 vs 8.2 ms per
+field+Gram; a no-PRNG control of the kernel still costs 28 ms, i.e.
+the full-accumulator grid structure, not the RNG, is the limit — see
+benchmarks/RESULTS.md).  They are retained as the documented
+alternative for shapes/hardware where fusion wins.
 
-Non-TPU backends fall back to a pure-XLA implementation of the same
+Draw distributions (all exactly representable in bfloat16 — no
+quantization noise, unlike bfloat16-rounded Gaussians):
+``normal16`` / ``normal32`` standardize a popcount-binomial matched to
+N(0, 1) in its first three moments (excess kurtosis -1/8 / -1/16);
+``rademacher`` maps one bit to +-1.  Wishart/Marchenko-Pastur null
+spectra at MCA scales depend only on the first two moments (spectral
+universality); equivalence to Gaussian ensembles is measured in
+tests/unit/test_surrogate.py and
+tests/integration/test_significance.py.
+
+Non-TPU backends fall back to pure-XLA implementations of the same
 distributions (different bit streams, identical statistics), so every
 consumer runs everywhere.
 """
@@ -65,15 +78,17 @@ def _bits_to_draw(bits, dist):
             == 1,
             jnp.bfloat16(1.0), jnp.bfloat16(-1.0),
         )
+    # popcount keeps the unsigned dtype; hop through int32 on the way
+    # to float (Mosaic has no uint32 -> float32 cast in-kernel)
     if dist == 'normal32':
         pc = jax.lax.population_count(
             bits.astype(jnp.uint32)
-        ).astype(jnp.float32)
+        ).astype(jnp.int32).astype(jnp.float32)
         return ((pc - 16.0) * _INV_SQRT8).astype(jnp.bfloat16)
     if dist == 'normal16':
         pc = jax.lax.population_count(
             bits.astype(jnp.uint32) & np.uint32(0xFFFF)
-        ).astype(jnp.float32)
+        ).astype(jnp.int32).astype(jnp.float32)
         return ((pc - 8.0) * 0.5).astype(jnp.bfloat16)
     raise ValueError(f'unknown surrogate distribution: {dist!r}')
 

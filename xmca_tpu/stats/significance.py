@@ -27,17 +27,19 @@ __all__ = ['rule_n_spectra', 'rule_north_uncertainty', 'bootstrap_spectra']
 
 
 def _auto_batch(n_runs, n_obs, n_vars_total, itemsize, target_bytes=2 << 30,
-                rotated=False, spectrum='exact'):
+                rotated=False, spectrum='exact', n_dev=1):
     """Pick a surrogate batch size.
 
-    CPU / exact path: memory-bounded vmap batches.  TPU fast rotated path:
-    batch=1 — the varimax ``while_loop`` has a heavy-tailed iteration-count
-    distribution, so a batch pays the max iteration count of its members;
-    single-run dispatches pipeline best (measured in benchmarks/RESULTS.md).
+    CPU / exact path: memory-bounded vmap batches.  TPU fast rotated
+    path: ONE run per device per dispatch — the varimax ``while_loop``
+    has a heavy-tailed iteration-count distribution, so wider batches
+    pay the max iteration count of their members; single-run dispatches
+    pipeline best (measured in benchmarks/RESULTS.md).  With a device
+    mesh the same logic gives ``n_dev`` (one run per chip).
     """
     if (rotated and spectrum == 'fast'
             and jax.default_backend() == 'tpu'):
-        return 1
+        return max(1, int(n_dev))
     per_run = max(1, n_obs * n_vars_total * itemsize * 8)
     return int(min(n_runs, max(1, target_bytes // per_run)))
 
@@ -47,17 +49,30 @@ def _auto_batch(n_runs, n_obs, n_vars_total, itemsize, target_bytes=2 << 30,
 # closure with jit(vmap(...)) on every rule_n/bootstrapping call would
 # re-trace AND re-compile the entire surrogate pipeline each time (~35 s
 # at north-star shapes — 25x the cost of the 125 surrogates themselves).
+# Bounded FIFO: long-lived processes sweeping many shapes must not pin
+# compiled executables (and their closure-captured device Hilbert
+# operators) forever.
 _ENSEMBLE_FN_CACHE = {}
 _HILBERT_DEVICE_CACHE = {}
+_CACHE_MAX_ENTRIES = 32
+
+
+def _cache_put(cache, key, value):
+    while len(cache) >= _CACHE_MAX_ENTRIES:
+        cache.pop(next(iter(cache)))
+    cache[key] = value
+    return value
 
 
 def _cached_ensemble_fn(cache_key, build, in_axes=0, vmapped=True):
     fn = _ENSEMBLE_FN_CACHE.get(cache_key)
     if fn is None:
         inner = build()
-        fn = jax.jit(jax.vmap(inner, in_axes=in_axes) if vmapped
-                     else inner)
-        _ENSEMBLE_FN_CACHE[cache_key] = fn
+        fn = _cache_put(
+            _ENSEMBLE_FN_CACHE, cache_key,
+            jax.jit(jax.vmap(inner, in_axes=in_axes) if vmapped
+                    else inner),
+        )
     return fn
 
 
@@ -69,8 +84,9 @@ def _device_hilbert(n_obs, dtype):
     """
     key = (int(n_obs), np.dtype(dtype).str, jax.default_backend())
     if key not in _HILBERT_DEVICE_CACHE:
-        _HILBERT_DEVICE_CACHE[key] = jnp.asarray(
-            _fast.hilbert_imag_matrix(n_obs, dtype)
+        _cache_put(
+            _HILBERT_DEVICE_CACHE, key,
+            jnp.asarray(_fast.hilbert_imag_matrix(n_obs, dtype)),
         )
     return _HILBERT_DEVICE_CACHE[key]
 
@@ -253,12 +269,18 @@ def rule_n_spectra(n_obs, n_vars, n_runs, *, complexify=False, rotated=False,
     n_vars = tuple(int(p) for p in n_vars)
     dtype = np.dtype(dtype)
 
-    if surrogate_source == 'generated' and spectrum == 'fast':
+    if surrogate_source == 'generated':
+        if spectrum != 'fast':
+            raise ValueError(
+                "surrogate_source='generated' requires "
+                "spectrum='fast' (set_solver(spectrum='fast'))"
+            )
         return _rule_n_generated(
             n_obs, n_vars, n_runs, complexify=complexify,
             rotated=rotated, n_rot=n_rot, power=power, tol=tol,
             seed=seed, n_modes_fast=n_modes_fast,
             subspace_iters=subspace_iters, dist=surrogate_dist,
+            mesh=mesh, ensemble_axis=ensemble_axis,
             progress=progress,
         )
 
@@ -267,6 +289,7 @@ def rule_n_spectra(n_obs, n_vars, n_runs, *, complexify=False, rotated=False,
             n_runs, n_obs, sum(n_vars), dtype.itemsize * (2 if complexify
                                                           else 1),
             rotated=rotated, spectrum=spectrum,
+            n_dev=mesh.shape[ensemble_axis] if mesh is not None else 1,
         )
 
     hilbert_H = None
@@ -307,7 +330,8 @@ def rule_n_spectra(n_obs, n_vars, n_runs, *, complexify=False, rotated=False,
 
 def _rule_n_generated(n_obs, n_vars, n_runs, *, complexify, rotated,
                       n_rot, power, tol, seed, n_modes_fast,
-                      subspace_iters, dist, progress=None):
+                      subspace_iters, dist, mesh=None,
+                      ensemble_axis='ensemble', progress=None):
     """The single-device TPU Rule-N production pipeline.
 
     The standard fused per-surrogate solve, with the Gaussian draws
@@ -354,8 +378,11 @@ def _rule_n_generated(n_obs, n_vars, n_runs, *, complexify, rotated,
         return one_run
 
     fn = _cached_ensemble_fn(cache_key, build)
+    # one run per device per dispatch (see _auto_batch rationale)
+    n_dev = mesh.shape[ensemble_axis] if mesh is not None else 1
     spectra, totals, converged = _ensemble_map(
-        fn, seeds[:, None], 1, progress=progress,
+        fn, seeds[:, None], max(1, n_dev), mesh=mesh,
+        axis=ensemble_axis, progress=progress,
     )
     keep = np.asarray(converged)
     return spectra[keep], totals[keep]
@@ -444,6 +471,7 @@ def bootstrap_spectra(fields, n_runs, n_out_modes, *, axis=0, on_left=True,
             n_runs, n_obs, sum(int(f.shape[1]) for f in fields),
             dtype.itemsize * (2 if complexify else 1),
             rotated=rotated, spectrum=spectrum,
+            n_dev=mesh.shape[ensemble_axis] if mesh is not None else 1,
         )
 
     def resample(key, fs):
