@@ -127,6 +127,34 @@ def test_rule_n_mesh_batch_smaller_than_devices(sst, prcp):
     np.testing.assert_allclose(sharded, unsharded, rtol=1e-4)
 
 
+def test_rule_n_generated_mesh_matches_unsharded(sst, prcp):
+    """The generated (bit-transform-draw) ensemble honors a mesh.
+
+    Per-run seeds fully determine each surrogate, so the sharded and
+    unsharded ensembles must agree run-for-run (up to GSPMD reduction
+    reorder at f32)."""
+    import jax
+    from xmca_tpu.parallel import make_mesh
+
+    m = xMCA(sst, prcp)
+    m.set_solver(spectrum='fast', surrogate_source='generated')
+    m.solve(complexify=True)
+    m.rotate(5)
+    unsharded = np.asarray(m.rule_n(11, seed=4, disable_progress=True))
+    m.set_solver(mesh=make_mesh(ensemble=len(jax.devices())))
+    sharded = np.asarray(m.rule_n(11, seed=4, disable_progress=True))
+    assert sharded.shape == unsharded.shape
+    np.testing.assert_allclose(sharded, unsharded, rtol=1e-4)
+
+
+def test_rule_n_generated_requires_fast_spectrum(sst, prcp):
+    m = xMCA(sst, prcp)
+    m.set_solver(spectrum='exact', surrogate_source='generated')
+    m.solve()
+    with pytest.raises(ValueError, match="spectrum='fast'"):
+        m.rule_n(2, disable_progress=True)
+
+
 def test_rule_n_truncated_rescaling_matches_full(sst, prcp):
     """Truncated solves must rescale surrogates by the exact stored total.
 

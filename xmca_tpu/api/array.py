@@ -34,7 +34,7 @@ from xmca_tpu.utils.nan import (get_nan_cols, has_nan_time_steps,
 from xmca_tpu.utils.text import secure_str, wrap_str
 from xmca_tpu.core import preprocess as _pre
 from xmca_tpu.core import solver as _solver
-from xmca_tpu.core.rotation import promax as _promax
+from xmca_tpu.core.rotation import promax1 as _promax1
 from xmca_tpu.stats import significance as _sig
 
 _DEFAULT_METHOD = 'gram'
@@ -584,7 +584,7 @@ class MCA:
         L = L * jnp.asarray(
             sqrt_svals, dtype=jnp.finfo(L.dtype).dtype
         )
-        L_rot, R, Phi, converged, _ = _promax(
+        L_rot, R, Phi, converged, _ = _promax1(
             L, power=int(power), max_iter=1000, tol=tol
         )
         # norms reduce on device; only two (n_rot,) vectors come home
@@ -612,8 +612,11 @@ class MCA:
         self._variance = variance
         self._var_idx = var_idx
 
-        self._rotation_matrix = _to_np(R)
-        self._correlation_matrix = _to_np(Phi)
+        # one stacked transfer for the two (n_rot, n_rot) matrices —
+        # each tunnel round trip costs ~30 ms
+        RP = _to_np(jnp.stack([R, Phi]))
+        self._rotation_matrix = RP[0]
+        self._correlation_matrix = RP[1]
         self._analysis['is_rotated'] = True
         self._analysis['n_rot'] = n_rot
         self._analysis['power'] = power

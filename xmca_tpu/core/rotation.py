@@ -93,6 +93,22 @@ def varimax(A, gamma=1.0, max_iter=1000, tol=1e-8, polar_method=None):
 
 
 @partial(jax.jit, static_argnames=('power', 'max_iter', 'polar_method'))
+def promax1(A, power=1, max_iter=1000, tol=1e-8, polar_method=None):
+    """:func:`promax` compiled through a 1-element ``vmap``.
+
+    XLA's batched lowering of the varimax fixed point produces a ~2x
+    faster loop body on TPU than the unbatched lowering of the same
+    function (measured in benchmarks/RESULTS.md) — the public
+    ``MCA.rotate`` and the Monte-Carlo ensembles both ride it.
+    """
+    out = jax.vmap(
+        lambda L: promax(L, power=power, max_iter=max_iter, tol=tol,
+                         polar_method=polar_method)
+    )(A[None])
+    return jax.tree_util.tree_map(lambda x: x[0], out)
+
+
+@partial(jax.jit, static_argnames=('power', 'max_iter', 'polar_method'))
 def promax(A, power=1, max_iter=1000, tol=1e-8, polar_method=None):
     """Oblique Promax rotation (power=1 reduces to Varimax).
 
