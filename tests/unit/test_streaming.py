@@ -1,0 +1,93 @@
+"""Out-of-core streamed solves vs the in-memory fast path."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from numpy.testing import assert_allclose
+
+from xmca_tpu.core.fastpath import (fast_solve_truncated,
+                                    hilbert_imag_matrix,
+                                    analytic_reduced_kernel,
+                                    subspace_svd)
+from xmca_tpu.core.streaming import (chunks_from_array, streamed_gram,
+                                     streamed_mca)
+from tests.conftest import align_modes
+
+
+@pytest.fixture(scope='module')
+def raw_xy():
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((128, 6))
+    Xl = base @ rng.standard_normal((6, 700)) \
+        + 0.3 * rng.standard_normal((128, 700)) + 1.5
+    Xr = base @ rng.standard_normal((6, 500)) \
+        + 0.3 * rng.standard_normal((128, 500)) - 0.7
+    return Xl, Xr                       # deliberately UNcentered
+
+
+def test_streamed_gram_is_exactly_centered(raw_xy):
+    Xl, _ = raw_xy
+    G = np.asarray(streamed_gram(
+        chunks_from_array(Xl, 64), Xl.shape[0], jnp.float64
+    ))
+    Xc = Xl - Xl.mean(0)
+    ref = Xc @ Xc.T
+    assert_allclose(G, ref, atol=1e-10 * abs(ref).max())
+
+
+@pytest.mark.parametrize('chunk', [64, 129, 700])
+def test_streamed_matches_in_memory_real(raw_xy, chunk):
+    Xl, Xr = raw_xy
+    k = 6
+    key = jax.random.PRNGKey(2)
+    s, Vl, Vr, total = streamed_mca(
+        lambda: chunks_from_array(Xl, chunk),
+        lambda: chunks_from_array(Xr, chunk),
+        Xl.shape[0], k, key=key, dtype=jnp.float64,
+    )
+    s_ref, Vl_ref, Vr_ref = fast_solve_truncated(
+        jnp.asarray(Xl - Xl.mean(0)), jnp.asarray(Xr - Xr.mean(0)),
+        key, n_modes=k, n_iter=12,
+    )
+    assert_allclose(s, np.asarray(s_ref), rtol=1e-10)
+    assert_allclose(align_modes(Vl, np.asarray(Vl_ref)),
+                    np.asarray(Vl_ref), atol=1e-9)
+    assert_allclose(align_modes(Vr, np.asarray(Vr_ref)),
+                    np.asarray(Vr_ref), atol=1e-9)
+    assert total > 0
+
+
+def test_streamed_matches_in_memory_complex(raw_xy):
+    """Analytic (Hilbert) streamed solve == in-memory analytic kernel."""
+    Xl, Xr = raw_xy
+    n = Xl.shape[0]
+    k = 6
+    key = jax.random.PRNGKey(3)
+    s, Vl, Vr, total = streamed_mca(
+        lambda: chunks_from_array(Xl, 96),
+        lambda: chunks_from_array(Xr, 96),
+        n, k, complexify=True, key=key, dtype=jnp.float64,
+    )
+    H = jnp.asarray(hilbert_imag_matrix(n, np.float64))
+    Xlc = jnp.asarray(Xl - Xl.mean(0))
+    Xrc = jnp.asarray(Xr - Xr.mean(0))
+    M, La, Lb = analytic_reduced_kernel(Xlc, Xrc, H)
+    U, s_ref, V = subspace_svd(M, key, k=k, n_iter=12)
+    assert_allclose(s, np.asarray(s_ref), rtol=1e-9)
+    # reference loadings via the in-memory analytic recovery
+    Tl = jax.scipy.linalg.solve_triangular(La.conj().T, U, lower=False)
+    S = Tl - 1j * (H.T @ Tl)
+    Vl_ref = np.asarray(Xlc.T @ jnp.real(S)) \
+        + 1j * np.asarray(Xlc.T @ jnp.imag(S))
+    assert_allclose(align_modes(Vl, Vl_ref), Vl_ref, atol=1e-8)
+    assert np.iscomplexobj(Vl) and np.iscomplexobj(Vr)
+
+
+def test_streamed_pca(raw_xy):
+    Xl, _ = raw_xy
+    s, Vl, Vr, total = streamed_mca(
+        lambda: chunks_from_array(Xl, 128), None,
+        Xl.shape[0], 4, dtype=jnp.float64,
+    )
+    assert Vl is Vr
+    assert s.shape == (4,) and np.isfinite(s).all()
