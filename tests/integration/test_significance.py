@@ -130,9 +130,12 @@ def test_rule_n_mesh_batch_smaller_than_devices(sst, prcp):
 def test_rule_n_generated_mesh_matches_unsharded(sst, prcp):
     """The generated (bit-transform-draw) ensemble honors a mesh.
 
-    Per-run seeds fully determine each surrogate, so the sharded and
-    unsharded ensembles must agree run-for-run (up to GSPMD reduction
-    reorder at f32)."""
+    Per-run seeds determine each surrogate (the per-run generator call
+    is lane-local, never itself sharded), so the sharded and unsharded
+    ensembles agree run-for-run up to GSPMD reduction reorder at f32.
+    This asserts the CPU lowering; 'rbg' bit streams are
+    implementation-defined per backend, so cross-BACKEND equality is
+    not claimed — only sharded-vs-unsharded consistency within one."""
     import jax
     from xmca_tpu.parallel import make_mesh
 

@@ -27,9 +27,11 @@ def raw_xy():
 
 def test_streamed_gram_is_exactly_centered(raw_xy):
     Xl, _ = raw_xy
-    G = np.asarray(streamed_gram(
+    G, p = streamed_gram(
         chunks_from_array(Xl, 64), Xl.shape[0], jnp.float64
-    ))
+    )
+    assert p == Xl.shape[1]
+    G = np.asarray(G)
     Xc = Xl - Xl.mean(0)
     ref = Xc @ Xc.T
     assert_allclose(G, ref, atol=1e-10 * abs(ref).max())

@@ -1125,21 +1125,26 @@ class MCA:
                 and jax.default_backend() == 'tpu'
             ) else 'draw'
         progress, close = self._progress_bar(n_runs, disable_progress)
-        spectra, totals = _sig.rule_n_spectra(
-            m['left'], tuple(n[k] for k in self._keys), n_runs,
-            complexify=self._analysis['is_complex'],
-            rotated=self._analysis['is_rotated'],
-            n_rot=self._analysis['n_rot'],
-            power=max(1, self._analysis['power']),
-            dtype=dtype, method=self._solver_method, seed=seed,
-            batch_size=self._ensemble_batch_size,
-            mesh=self._ensemble_mesh, ensemble_axis=self._ensemble_axis,
-            spectrum=self._ensemble_spectrum, n_modes_fast=n_modes_fast,
-            subspace_iters=self._subspace_iters,
-            surrogate_source=source,
-            surrogate_dist=self._surrogate_gen_dist, progress=progress,
-        )
-        close()
+        try:
+            spectra, totals = _sig.rule_n_spectra(
+                m['left'], tuple(n[k] for k in self._keys), n_runs,
+                complexify=self._analysis['is_complex'],
+                rotated=self._analysis['is_rotated'],
+                n_rot=self._analysis['n_rot'],
+                power=max(1, self._analysis['power']),
+                dtype=dtype, method=self._solver_method, seed=seed,
+                batch_size=self._ensemble_batch_size,
+                mesh=self._ensemble_mesh,
+                ensemble_axis=self._ensemble_axis,
+                spectrum=self._ensemble_spectrum,
+                n_modes_fast=n_modes_fast,
+                subspace_iters=self._subspace_iters,
+                surrogate_source=source,
+                surrogate_dist=self._surrogate_gen_dist,
+                progress=progress,
+            )
+        finally:
+            close()
         svals = spectra.T                        # (n_modes, n_runs)
         # Rule-N rescaling normalizes each surrogate's full-spectrum total
         # to the true analysis total.  After set_solver(truncate=k) the
@@ -1200,6 +1205,21 @@ class MCA:
             n_runs * (1 if strategy == 'standard' else n_mode_iters),
             disable_progress,
         )
+        try:
+            self._bootstrap_modes(
+                var_surr, n_mode_iters, n_runs, strategy, axis, on_left,
+                on_right, block_size, replace, complexify, extend,
+                period, is_rotated, n_rot, power, n_modes_max, seed,
+                progress,
+            )
+        finally:
+            close()
+        return var_surr
+
+    def _bootstrap_modes(self, var_surr, n_mode_iters, n_runs, strategy,
+                         axis, on_left, on_right, block_size, replace,
+                         complexify, extend, period, is_rotated, n_rot,
+                         power, n_modes_max, seed, progress):
         for mode in range(n_mode_iters):
             X_surr = self._get_X(original_scale=False, real=True)
             if strategy == 'iterative':
@@ -1230,8 +1250,6 @@ class MCA:
 
             if strategy == 'standard':
                 break
-        close()
-        return var_surr
 
     # ----------------------------------------------------------- save/load
     def _get_analysis_path(self, path=None):

@@ -158,13 +158,30 @@ def analytic_reduced_kernel(Xl, Xr, H, jitter_rel=1e-6):
     return M, La, Lb
 
 
-def _analytic_spatial_vectors(X, H, T):
-    """``V = Z^H T`` for ``Z = (I + iH) X`` without materializing Z.
+def analytic_projection_stack(T, H):
+    """Real (n, 2k) stack of the analytic recovery weights.
 
-    ``Z^H T = X^T (T - i H^T T)`` — one tall real-by-complex matmul.
+    ``V = Z^H T`` for ``Z = (I + iH) X`` reduces to
+    ``X^T (T - i H^T T)``; stacking real and imaginary parts side by
+    side lets any consumer (in-memory, streamed, or regenerated fields)
+    run ONE real projection and recombine with
+    :func:`combine_analytic_projection` — the single definition all
+    complexified back-projections share.
     """
     S = T - 1j * (H.T @ T)
-    return (_data_dot(X.T, S.real) + 1j * _data_dot(X.T, S.imag))
+    return jnp.concatenate([jnp.real(S), jnp.imag(S)], axis=1)
+
+
+def combine_analytic_projection(P):
+    """Inverse of the :func:`analytic_projection_stack` split."""
+    k = P.shape[1] // 2
+    return P[:, :k] + 1j * P[:, k:]
+
+
+def _analytic_spatial_vectors(X, H, T):
+    """``V = Z^H T`` for ``Z = (I + iH) X`` without materializing Z."""
+    S = analytic_projection_stack(T, H)
+    return combine_analytic_projection(_data_dot(X.T, S))
 
 
 @partial(jax.jit,
@@ -580,16 +597,11 @@ def fast_surrogate_variance_gen(seed, key, n_obs, n_vars, H=None,
             L_chol.conj().T, T_side, lower=False
         )
         if complexify:
-            # V = Z^H T = X^T (T - i H^T T) — stack real/imag into one
-            # real (n, 2k) projection so the field regenerates once
-            S = T - 1j * (H.T @ T)
-            S_stack = jnp.concatenate(
-                [jnp.real(S), jnp.imag(S)], axis=1
-            ).astype(jnp.float32)
+            # one real (n, 2k) projection so the field regenerates once
+            S_stack = analytic_projection_stack(T, H).astype(jnp.float32)
             P = surrogate_project(fseed, S_stack, n_obs, p, dist=dist)
             P = P - mu[:, None] * jnp.sum(S_stack, axis=0)[None, :]
-            k = T.shape[1]
-            return P[:, :k] + 1j * P[:, k:]
+            return combine_analytic_projection(P)
         S_stack = jnp.real(T).astype(jnp.float32)
         P = surrogate_project(fseed, S_stack, n_obs, p, dist=dist)
         return P - mu[:, None] * jnp.sum(S_stack, axis=0)[None, :]

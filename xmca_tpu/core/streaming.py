@@ -57,14 +57,20 @@ def streamed_gram(chunks, n_obs, dtype=jnp.float32):
     """Centered temporal Gram of a streamed field (pass 1).
 
     ``chunks``: iterable of host ``(n_obs, p_chunk)`` arrays.  Returns
-    the exactly-centered ``(n_obs, n_obs)`` Gram on device.
+    ``(G, p)``: the exactly-centered ``(n_obs, n_obs)`` Gram on device
+    and the total variable count seen (the rank/roundoff scale the
+    jitter floor needs — roundoff of a length-p contraction grows like
+    ``eps * sqrt(p)``).
     """
     G = jnp.zeros((n_obs, n_obs), dtype)
     w = jnp.zeros((n_obs,), dtype)
     mumu = jnp.zeros((), dtype)
+    p = 0
     for chunk in chunks:
-        G, w, mumu = _accumulate(G, w, mumu, np.asarray(chunk, dtype))
-    return G - w[:, None] - w[None, :] + mumu
+        chunk = np.asarray(chunk, dtype)
+        p += chunk.shape[1]
+        G, w, mumu = _accumulate(G, w, mumu, chunk)
+    return G - w[:, None] - w[None, :] + mumu, p
 
 
 @partial(jax.jit, static_argnames=('complexify',))
@@ -80,8 +86,7 @@ def _project_chunk(chunk, Z, colsum_Z, complexify):
     P = jnp.matmul(c.T, Z, precision=_HI)
     P = P - mu[:, None] * colsum_Z[None, :]
     if complexify:
-        k = Z.shape[1] // 2
-        return P[:, :k] + 1j * P[:, k:]
+        return _fast.combine_analytic_projection(P)
     return P
 
 
@@ -112,25 +117,25 @@ def streamed_mca(chunks_left, chunks_right, n_obs, n_modes, *,
     if key is None:
         key = jax.random.PRNGKey(0)
     bivariate = chunks_right is not None
+    # ONE device-resident Hilbert operator for both fields
+    H = jnp.asarray(
+        _fast.hilbert_imag_matrix(n_obs, np.dtype(dtype))
+    ) if complexify else None
 
     def field_gram(loader):
-        G = streamed_gram(loader(), n_obs, dtype)
+        G, p = streamed_gram(loader(), n_obs, dtype)
         if complexify:
-            H = jnp.asarray(
-                _fast.hilbert_imag_matrix(n_obs, np.dtype(dtype))
-            )
             G = _fast._analytic_fold(G, H).astype(
                 _fast._complex_dtype(dtype)
             )
-        else:
-            H = None
+        # the jitter floor scales with the CONTRACTED width p, not n
         return _fast._jitter(
-            G, n_obs, jitter_rel,
+            G, p, jitter_rel,
             input_eps=float(jnp.finfo(dtype).eps),
-        ), H
+        )
 
-    Gl, H = field_gram(chunks_left)
-    Gr = Gl if not bivariate else field_gram(chunks_right)[0]
+    Gl = field_gram(chunks_left)
+    Gr = Gl if not bivariate else field_gram(chunks_right)
 
     dof = n_obs - 1
     La = jnp.linalg.cholesky(Gl)
@@ -144,10 +149,7 @@ def streamed_mca(chunks_left, chunks_right, n_obs, n_modes, *,
             L_chol.conj().T, T_side, lower=False
         )
         if complexify:
-            S = T - 1j * (H.T @ T)
-            Z = jnp.concatenate(
-                [jnp.real(S), jnp.imag(S)], axis=1
-            ).astype(dtype)
+            Z = _fast.analytic_projection_stack(T, H).astype(dtype)
         else:
             Z = jnp.real(T).astype(dtype)
         colsum = jnp.sum(Z, axis=0)

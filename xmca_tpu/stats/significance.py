@@ -117,7 +117,6 @@ def _ensemble_map(fn, keys, batch_size, mesh=None, axis='ensemble',
     # Uploading an (batch, 2) uint32 array per batch is effectively free.
     keys = np.asarray(keys)
     n_runs = keys.shape[0]
-    outs = []
     bufs = None
     pos = 0
     n_dev = 1
@@ -143,30 +142,23 @@ def _ensemble_map(fn, keys, batch_size, mesh=None, axis='ensemble',
         # keep results on device: a per-batch host transfer would block
         # each dispatch on the previous batch's execution and kill the
         # dispatch pipeline (critical for batch=1 TPU ensembles where the
-        # host->device roundtrip rivals the surrogate compute)
-        if mesh is None:
-            # write each batch into a preallocated device buffer through
-            # ONE jitted updater: a final jnp.concatenate over n_batches
-            # operands would compile per ensemble size (~10 s at 125
-            # one-run batches), while dynamic_update_slice traces the
-            # batch index as data
-            if bufs is None:
-                bufs = jax.tree_util.tree_map(
-                    lambda r: jnp.zeros((n_runs,) + r.shape[1:], r.dtype),
-                    res,
-                )
-            bufs = _scatter_batch(bufs, pos, res)
-            pos += n_in_batch
-        else:
-            outs.append(res)
+        # host->device roundtrip rivals the surrogate compute).  Each
+        # batch writes into a preallocated buffer through ONE jitted
+        # updater: a final jnp.concatenate over n_batches operands would
+        # compile per ensemble size (~10 s at 125 one-run batches), while
+        # dynamic_update_slice traces the batch index as data.  With a
+        # mesh the per-batch (sharded) results collapse into the
+        # replicated buffer — small (batch, n_modes) leaves.
+        if bufs is None:
+            bufs = jax.tree_util.tree_map(
+                lambda r: jnp.zeros((n_runs,) + r.shape[1:], r.dtype),
+                res,
+            )
+        bufs = _scatter_batch(bufs, pos, res)
+        pos += n_in_batch
         if progress is not None:
             progress(n_in_batch)
-    if mesh is None:
-        return jax.tree_util.tree_map(np.asarray, bufs)
-    # one device-side concatenation + one host transfer per output leaf
-    return jax.tree_util.tree_map(
-        lambda *rs: np.asarray(jnp.concatenate(rs, axis=0)), *outs
-    )
+    return jax.tree_util.tree_map(np.asarray, bufs)
 
 
 def _surrogate_variance(fields, complexify, rotated, n_rot, power, tol,
@@ -280,8 +272,8 @@ def rule_n_spectra(n_obs, n_vars, n_runs, *, complexify=False, rotated=False,
             rotated=rotated, n_rot=n_rot, power=power, tol=tol,
             seed=seed, n_modes_fast=n_modes_fast,
             subspace_iters=subspace_iters, dist=surrogate_dist,
-            mesh=mesh, ensemble_axis=ensemble_axis,
-            progress=progress,
+            batch_size=batch_size, mesh=mesh,
+            ensemble_axis=ensemble_axis, progress=progress,
         )
 
     if batch_size is None:
@@ -330,7 +322,7 @@ def rule_n_spectra(n_obs, n_vars, n_runs, *, complexify=False, rotated=False,
 
 def _rule_n_generated(n_obs, n_vars, n_runs, *, complexify, rotated,
                       n_rot, power, tol, seed, n_modes_fast,
-                      subspace_iters, dist, mesh=None,
+                      subspace_iters, dist, batch_size=None, mesh=None,
                       ensemble_axis='ensemble', progress=None):
     """The single-device TPU Rule-N production pipeline.
 
@@ -378,10 +370,12 @@ def _rule_n_generated(n_obs, n_vars, n_runs, *, complexify, rotated,
         return one_run
 
     fn = _cached_ensemble_fn(cache_key, build)
-    # one run per device per dispatch (see _auto_batch rationale)
-    n_dev = mesh.shape[ensemble_axis] if mesh is not None else 1
+    if batch_size is None:
+        # one run per device per dispatch (see _auto_batch rationale)
+        n_dev = mesh.shape[ensemble_axis] if mesh is not None else 1
+        batch_size = max(1, n_dev)
     spectra, totals, converged = _ensemble_map(
-        fn, seeds[:, None], max(1, n_dev), mesh=mesh,
+        fn, seeds[:, None], batch_size, mesh=mesh,
         axis=ensemble_axis, progress=progress,
     )
     keep = np.asarray(converged)
