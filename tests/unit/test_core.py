@@ -216,3 +216,32 @@ def test_rotated_variance_masks_and_sorts(xy):
     assert bool(converged)
     assert (np.diff(var) <= 1e-12).all()
     assert (var > 0).all()
+
+
+def test_kernel_svd_polar_both_orientations():
+    """The TPU polar-SVD route must handle tall, square AND wide
+    kernels (bivariate fields with different NaN masks produce
+    rectangular kernels — found by tutorial/quickstart.py on chip)."""
+    from xmca_tpu.core.linalg import _kernel_svd_polar
+    rng = np.random.default_rng(8)
+    for shape in ((40, 25), (25, 25), (25, 40)):
+        for cplx in (False, True):
+            K = rng.standard_normal(shape)
+            if cplx:
+                K = K + 1j * rng.standard_normal(shape)
+            U, s, Vh = _kernel_svd_polar(jnp.asarray(K))
+            s_ref = np.linalg.svd(K, compute_uv=False)
+            assert_allclose(np.asarray(s), s_ref, atol=1e-10)
+            # exact reconstruction + orthonormality
+            rec = np.asarray(U) * np.asarray(s) @ np.asarray(Vh)
+            assert_allclose(rec, K, atol=1e-9)
+            assert_allclose(
+                np.asarray(U).conj().T @ np.asarray(U),
+                np.eye(min(shape)), atol=1e-10,
+            )
+            assert_allclose(
+                np.asarray(Vh) @ np.asarray(Vh).conj().T,
+                np.eye(min(shape)), atol=1e-10,
+            )
+            s_only = _kernel_svd_polar(jnp.asarray(K), compute_uv=False)
+            assert_allclose(np.asarray(s_only), s_ref, atol=1e-10)

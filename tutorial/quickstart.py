@@ -2,14 +2,19 @@
 tutorial/quickstart.py, using the bundled fixture data so it runs without
 network access)."""
 import os
+import sys
 
 import numpy as np
 import matplotlib
 matplotlib.use('Agg')
 import matplotlib.pyplot as plt
 
-from xmca_tpu.compat import open_dataarray
-from xmca_tpu.xarray import xMCA
+# runnable straight from a checkout: python tutorial/quickstart.py
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+from xmca_tpu.compat import open_dataarray  # noqa: E402
+from xmca_tpu.xarray import xMCA            # noqa: E402
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 FIX = os.path.join(HERE, '..', 'tests', 'integration', 'fixtures')

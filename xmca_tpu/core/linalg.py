@@ -100,28 +100,48 @@ def randomized_decomposition(X, key, n_modes, n_iter=2):
     return K[:, :r], s[:r], Vh.conj().T[:, :r]
 
 
-def kernel_svd(K, compute_uv=True):
-    """Backend-aware SVD of a small dense kernel matrix.
+def _kernel_svd_polar(K, compute_uv=True):
+    """SVD via QDWH polar + one hermitian eigendecomposition.
 
-    CPU lowers to LAPACK (exact parity path).  On TPU, XLA's dense SVD is
-    an extremely slow iteration; the QDWH polar factorization
-    (``jax.scipy.linalg.polar`` — QR + matmuls, designed for TPU) followed
-    by one hermitian eigendecomposition is equivalent:
-    ``K = W P``, ``P = V S V^H``  =>  ``K = (W V) S V^H``.
+    ``side='right'`` (``K = W P``) needs ``m >= n``; wide matrices use
+    ``side='left'`` (``K = P W``) instead:
+    ``P = V S V^H`` => ``K = V S (W^H V)^H`` — same triplets, no
+    transposed copy of ``K`` materialized.
     """
-    if jax.default_backend() == 'cpu':
-        if not compute_uv:
-            return jnp.linalg.svd(K, compute_uv=False)
-        return jnp.linalg.svd(K, full_matrices=False)
-    W, P = jax.scipy.linalg.polar(K, side='right')
+    m, n = K.shape
+    hi = jax.lax.Precision.HIGHEST
+    if m >= n:
+        W, P = jax.scipy.linalg.polar(K, side='right')
+    else:
+        W, P = jax.scipy.linalg.polar(K, side='left')
     w, V = jnp.linalg.eigh(P)
     w = jnp.flip(w, -1)
     s = jnp.clip(w, 0.0)
     if not compute_uv:
         return s
     V = jnp.flip(V, -1)
-    U = jnp.matmul(W, V, precision=jax.lax.Precision.HIGHEST)
-    return U, s, V.conj().T
+    if m >= n:
+        U = jnp.matmul(W, V, precision=hi)
+        return U, s, V.conj().T
+    # K = P W = (V S V^H) W:  U = V, V^H W has orthonormal rows
+    Vh = jnp.matmul(V.conj().T, W, precision=hi)
+    return V, s, Vh
+
+
+def kernel_svd(K, compute_uv=True):
+    """Backend-aware SVD of a small dense kernel matrix.
+
+    CPU lowers to LAPACK (exact parity path).  On TPU, XLA's dense SVD
+    is an extremely slow iteration; the QDWH polar factorization
+    (``jax.scipy.linalg.polar`` — QR + matmuls, designed for TPU)
+    followed by one hermitian eigendecomposition is equivalent
+    (:func:`_kernel_svd_polar`).
+    """
+    if jax.default_backend() == 'cpu':
+        if not compute_uv:
+            return jnp.linalg.svd(K, compute_uv=False)
+        return jnp.linalg.svd(K, full_matrices=False)
+    return _kernel_svd_polar(K, compute_uv=compute_uv)
 
 
 def unitary_polar_factor(A, method='svd'):
