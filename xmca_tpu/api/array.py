@@ -40,6 +40,12 @@ from xmca_tpu.stats import significance as _sig
 _DEFAULT_METHOD = 'gram'
 
 
+@jax.jit
+def _real_dev(x):
+    """Real part, on device (eager complex ops fail on the axon TPU)."""
+    return jnp.real(x)
+
+
 class MCA:
     """Perform MCA/PCA on one or two ``numpy.ndarray`` fields.
 
@@ -408,6 +414,21 @@ class MCA:
             X = {k: x.real for k, x in X.items()}
         if original_scale:
             X = self._scale_X_inverse(X)
+        return X
+
+    def _get_X_dev(self, real=False):
+        """Device-resident (optionally real-part) fields.
+
+        Monte-Carlo drivers must hand jit DEVICE arrays: a NumPy field
+        argument is re-uploaded on every dispatch — measured 3.0 s/run
+        vs 0.1 s/run for the at-scale bootstrap ensemble.
+        """
+        X = dict(self._fields)
+        if real:
+            X = {
+                k: _real_dev(f) if jnp.iscomplexobj(f) else f
+                for k, f in X.items()
+            }
         return X
 
     def _get_fields(self, original_scale=False):
@@ -1221,13 +1242,16 @@ class MCA:
                          complexify, extend, period, is_rotated, n_rot,
                          power, n_modes_max, seed, progress):
         for mode in range(n_mode_iters):
-            X_surr = self._get_X(original_scale=False, real=True)
+            X_surr = self._get_X_dev(real=True)
             if strategy == 'iterative':
                 X_rec = self._reconstructed_X(
                     mode=mode, original_scale=False
                 )
                 for k in X_surr.keys():
-                    X_surr[k] = X_surr[k] - X_rec[k]
+                    # one upload per MODE (reused by every run's dispatch)
+                    X_surr[k] = X_surr[k] - jnp.asarray(
+                        np.real(X_rec[k])
+                    )
 
             spectra, converged = _sig.bootstrap_spectra(
                 [X_surr[k] for k in self._keys], n_runs,
