@@ -89,7 +89,16 @@ def main():
     err = abs(ours - ref).max()
     check('circulant Hilbert route', err < 1e-4, f'(abs {err:.2e})')
 
-    # ---- 3. public pipeline smoke at reduced shapes
+    # ---- 3. complex transfer round trip (to_device / to_numpy)
+    from xmca_tpu.utils.transfer import to_device, to_numpy
+    zc = (rng.standard_normal((64, 32))
+          + 1j * rng.standard_normal((64, 32))).astype(np.complex64)
+    z_dev = to_device(zc)
+    z_back = to_numpy(z_dev)
+    check('complex to_device/to_numpy round trip',
+          np.allclose(z_back, zc), f'(max {abs(z_back - zc).max():.1e})')
+
+    # ---- 4. public pipeline smoke at reduced shapes
     from xmca_tpu.array import MCA
     A = rng.standard_normal((512, 40, 50)).astype(np.float32)
     B = rng.standard_normal((512, 40, 50)).astype(np.float32)
@@ -103,6 +112,31 @@ def main():
           np.isfinite(surr).all() and surr.shape[0] == 6
           and surr.shape[1] >= 14,
           f'(kept {surr.shape[1]}/16 runs)')
+
+    # ---- 5. fused result kernels on-chip: rotated EOFs/PCs, patterns,
+    # reconstruction, predict all consume the device-resident basis
+    eofs = m.eofs(4)
+    pcs = m.pcs(4)
+    ok = all(np.isfinite(np.abs(e)).all() for e in eofs.values())
+    ok &= all(np.isfinite(np.abs(p)).all() for p in pcs.values())
+    check('rotated eofs/pcs via device kernels', bool(ok))
+    hom, pv = m.homogeneous_patterns(3)
+    ok = (np.isfinite(hom['left']).all()
+          and (np.abs(hom['left']) <= 1 + 1e-5).all()
+          and ((pv['left'] >= 0) & (pv['left'] <= 1)).all())
+    check('fused correlation-map kernel', bool(ok))
+    rec = m.reconstructed_fields(mode=2)
+    check('fused reconstruction kernel',
+          np.isfinite(rec['left']).all())
+    pred = m.predict(left=A[:8], n=3)
+    check('predict via device projection',
+          np.isfinite(np.abs(pred['left'])).all())
+
+    # ---- 6. re-solve on already-complex fields (the empty-field guard
+    # and complexify re-entry must stay inside the jitted envelope)
+    m.solve(complexify=False)
+    check('re-solve after complex solve',
+          np.isfinite(np.asarray(m.singular_values(3))).all())
 
     return 1 if failures else 0
 

@@ -31,3 +31,31 @@ def test_stage_split_loadings_match_fused():
     assert bool(conv_fused) and bool(conv_split)
     assert_allclose(np.asarray(var_split), np.asarray(var_fused),
                     rtol=1e-8)
+
+
+def test_stage_split_loadings_match_fused_real():
+    """fast_rotated_loadings (real stage-A) + stage-B reproduce the
+    fused fast_rotated_variance for real fields."""
+    import jax
+    from xmca_tpu.core.fastpath import (
+        fast_rotated_variance, fast_rotated_loadings,
+        rotated_variance_from_loadings,
+    )
+    rng = np.random.default_rng(5)
+    n, p = 200, 600
+    X = rng.standard_normal((n, p)).astype(np.float64)
+    Y = rng.standard_normal((n, p)).astype(np.float64)
+    X -= X.mean(0)
+    Y -= Y.mean(0)
+    key = jax.random.PRNGKey(1)
+
+    var_fused, conv_fused = fast_rotated_variance(
+        jnp.asarray(X), jnp.asarray(Y), key, n_rot=6, n_iter=10,
+    )
+    L = fast_rotated_loadings(
+        jnp.asarray(X), jnp.asarray(Y), key, n_rot=6, n_iter=10,
+    )
+    var_split, conv_split = rotated_variance_from_loadings(L, p)
+    assert bool(conv_fused) and bool(conv_split)
+    assert_allclose(np.asarray(var_split), np.asarray(var_fused),
+                    rtol=1e-8)

@@ -21,6 +21,7 @@ Intentional deviations from the reference (each noted at the method):
 import cmath
 import os
 from datetime import datetime
+from functools import partial
 
 import numpy as np
 import jax
@@ -38,12 +39,113 @@ from xmca_tpu.core.rotation import promax1 as _promax1
 from xmca_tpu.stats import significance as _sig
 
 _DEFAULT_METHOD = 'gram'
+_HI = jax.lax.Precision.HIGHEST
 
 
 @jax.jit
 def _real_dev(x):
     """Real part, on device (eager complex ops fail on the axon TPU)."""
     return jnp.real(x)
+
+
+@jax.jit
+def _all_nan_dev(x):
+    """True iff every entry is NaN — device-side reduction; only a bool
+    crosses to host (a direct np.asarray of a complex device array fails
+    on axon, and eager complex ops are unsafe there)."""
+    return jnp.isnan(jnp.abs(x)).all()
+
+
+@jax.jit
+def _sub_dev(a, b):
+    return a - b
+
+
+@jax.jit
+def _mul_dev(a, b):
+    return a * b
+
+
+# ---------------------------------------------------------------------------
+# Mode-space device kernels.
+#
+# Everything the result layer computes is a handful of small products in
+# "mode space" — scale the singular vectors by √s, mix them through the
+# rotation matrix, re-order by variance, project the data through them.
+# Each public getter compiles to ONE fused device program consuming the
+# device-resident basis (`MCA._V_dev`): no full-field host round trips,
+# no eager complex ops (unsafe on the axon backend), and only the
+# requested columns ever cross the host<->device link.  Mode counts
+# (`pool`) and result slices (`keep`) are static so XLA sees fixed
+# shapes; weights/orderings are traced arguments so re-ordering never
+# recompiles.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=('pool',))
+def _loadings_kernel(V, col_w, R, inv_norm, order, *, pool):
+    """Rotated spatial vectors: ((V √s) R / ‖·‖), variance-ordered."""
+    mixed = jnp.matmul(V[:, :pool] * col_w, R, precision=_HI) * inv_norm
+    return jnp.take(mixed, order, axis=1)
+
+
+@partial(jax.jit, static_argnames=('pool',))
+def _scores_kernel(X, V, whiten, *, pool):
+    """Unrotated PC series: (X V) / √s."""
+    return jnp.matmul(X, V[:, :pool], precision=_HI) * whiten
+
+
+@partial(jax.jit, static_argnames=('pool',))
+def _scores_rotated_kernel(X, V, whiten, R_it, order, *, pool):
+    """Rotated PC series: ((X V) / √s) R⁻ᵀ, variance-ordered."""
+    S = jnp.matmul(X, V[:, :pool], precision=_HI) * whiten
+    return jnp.take(jnp.matmul(S, R_it, precision=_HI), order, axis=1)
+
+
+@partial(jax.jit, static_argnames=('pool',))
+def _whiten_scores_kernel(S, whiten, *, pool):
+    """Unrotated PC series from precomputed raw scores (streamed
+    solves store ``X V`` — the data itself is gone)."""
+    return S[:, :pool] * whiten
+
+
+@partial(jax.jit, static_argnames=('pool',))
+def _whiten_scores_rotated_kernel(S, whiten, R_it, order, *, pool):
+    """Rotated PC series from precomputed raw scores."""
+    W = S[:, :pool] * whiten
+    return jnp.take(jnp.matmul(W, R_it, precision=_HI), order, axis=1)
+
+
+@partial(jax.jit, static_argnames=('pool', 'keep'))
+def _reconstruct_kernel(X, V, whiten, R_it, col_w, R, inv_norm,
+                        norm_keep, order, *, pool, keep):
+    """Mode-subset reconstruction real(U_eigen V_rotᴴ), fully fused:
+    rotated scores and rotated loadings are both built from the basis
+    in-program and contracted without ever leaving the device."""
+    S = jnp.matmul(jnp.matmul(X, V[:, :pool], precision=_HI) * whiten,
+                   R_it, precision=_HI)
+    S = jnp.take(S, order, axis=1)[:, keep] * norm_keep
+    W = jnp.matmul(V[:, :pool] * col_w, R, precision=_HI) * inv_norm
+    W = jnp.take(W, order, axis=1)[:, keep]
+    return jnp.real(jnp.matmul(S, W.conj().T, precision=_HI))
+
+
+@partial(jax.jit, static_argnames=('pool', 'keep'))
+def _pattern_kernel(X, Xs, V, whiten, R_it, order, cos_p, sin_p, *,
+                    pool, keep):
+    """Pearson correlation maps of real(X) against the phase-shifted
+    real PCs of Xs — projection, rotation, centering and the (p, k)
+    correlation contraction in one device program."""
+    S = jnp.matmul(Xs, V[:, :pool], precision=_HI) * whiten
+    S = jnp.take(jnp.matmul(S, R_it, precision=_HI), order,
+                 axis=1)[:, keep]
+    S = jnp.real(S) * cos_p - jnp.imag(S) * sin_p
+    Xr = jnp.real(X)
+    Xc = Xr - jnp.mean(Xr, axis=0)
+    Sc = S - jnp.mean(S, axis=0)
+    num = jnp.matmul(Xc.T, Sc, precision=_HI)
+    den = (jnp.linalg.norm(Xc, axis=0)[:, None]
+           * jnp.linalg.norm(Sc, axis=0)[None, :])
+    return num / den
 
 
 class MCA:
@@ -234,7 +336,10 @@ class MCA:
             (memory bound).  Auto-sized if None.
         mesh : jax.sharding.Mesh, optional
             Device mesh; Monte-Carlo ensembles shard their run axis over
-            ``ensemble_axis``.
+            ``ensemble_axis``, and a mesh carrying a ``'space'`` axis
+            additionally shards ``solve``'s space dimension (GSPMD
+            partitions the Gram contraction into per-device partials +
+            a psum across the mesh).
         spectrum : {'exact', 'fast'}, optional
             Monte-Carlo surrogate spectrum algorithm.  'exact' uses dense
             factorizations (the default on CPU); 'fast' uses the
@@ -321,32 +426,108 @@ class MCA:
         self._field_names['left'] = left
         self._field_names['right'] = right
 
-    # ------------------------------------------------------- slicing helper
-    def _get_slice(self, input):
-        """Create a slice from a 1-based int/slice mode spec.
+    # ------------------------------------------------- out-of-core ingestion
+    @classmethod
+    def from_chunks(cls, left, right=None, *, n_observations,
+                    left_shape, right_shape=None):
+        """Build a chunk-backed model for fields larger than device HBM
+        (or host RAM) — the out-of-core entry point.
 
-        Parity with reference xmca/array.py:145-173.
+        No reference counterpart: the reference needs the full
+        ``(time, space)`` matrices in RAM for LAPACK
+        (xmca/array.py:474-483).  Here the data streams through the
+        chip in space chunks (xmca_tpu.core.streaming) — peak device
+        memory is one chunk plus n x n state.
+
+        Parameters
+        ----------
+        left, right : callables returning a *fresh* iterable of
+            ``(n_observations, p_chunk)`` host arrays (NaN-free), e.g.
+            successive reads from a memmap / zarr / netCDF store.  Each
+            field is streamed twice per solve (Gram pass + projection
+            pass).
+        n_observations : length of the time axis.
+        left_shape, right_shape : spatial shape tuples (or flat column
+            counts) of the full fields.
+
+        ``solve`` runs the streamed pipeline (``set_solver(truncate=k)``
+        selects the mode count, default 20; plain or Hilbert-complex).
+        Everything derived from the decomposition — eofs, pcs, rotate,
+        rule_n, predict, save — works; methods that need the full data
+        matrix resident (``fields``, correlation patterns,
+        reconstruction, bootstrapping, normalize/apply_weights) raise.
+        Pre-scale inside the loaders instead of ``normalize``.
         """
-        if np.issubdtype(type(input), np.integer) or input is None:
-            if input is None:
-                input = self._analysis['rank']
-            output = slice(0, input)
-        elif isinstance(input, slice):
-            try:
-                new_start = max(0, input.start - 1)
-            except TypeError:
-                new_start = 0
-            try:
-                new_stop = min(input.stop, self._analysis['rank'])
-            except TypeError:
-                new_stop = self._analysis['rank']
-            output = slice(new_start, new_stop, input.step)
-        else:
-            raise ValueError(
-                'Invalid type {:}. Must be either int or slice.'
-                .format(type(input))
+        model = cls()
+        model._keys = ['left'] if right is None else ['left', 'right']
+        loaders = {'left': left}
+        shapes = {'left': left_shape, 'right': right_shape}
+        if right is not None:
+            loaders['right'] = right
+        for k in model._keys:
+            sshape = shapes[k]
+            if sshape is None:
+                raise ValueError(
+                    'spatial shape of the %s field is required' % k
+                )
+            sshape = ((int(sshape),) if np.isscalar(sshape)
+                      else tuple(int(s) for s in sshape))
+            model._shape[k] = (int(n_observations),) + sshape
+            model._n_observations[k] = int(n_observations)
+            model._fields_spatial_shape[k] = sshape
+            model._n_variables[k] = int(np.prod(sshape))
+            model._field_names[k] = k
+            model._no_nan_index[k] = np.ones(model._n_variables[k], bool)
+        model._chunk_loaders = loaders
+        model._analysis['is_bivariate'] = len(model._keys) == 2
+        model._analysis['method'] = model._get_method_id()
+        return model
+
+    def _is_chunk_backed(self):
+        return getattr(self, '_chunk_loaders', None) is not None
+
+    def _require_resident_fields(self, what):
+        if self._is_chunk_backed():
+            raise RuntimeError(
+                '`{:}` needs the full data matrix and is not available '
+                'for chunk-backed (out-of-core) models.'.format(what)
             )
-        return output
+
+    # ------------------------------------------------------- mode selection
+    def _get_slice(self, spec):
+        """Resolve a 1-based mode spec to a 0-based slice.
+
+        The public API counts modes from 1 and treats slice bounds as
+        inclusive; ``None`` selects every solved mode; a plain integer
+        ``n`` selects the first ``n`` (behavioral parity with the
+        reference's mode addressing, xmca/array.py:145-173).
+        """
+        rank = self._analysis['rank']
+        if spec is None:
+            return slice(0, rank)
+        if isinstance(spec, slice):
+            lo = 0 if spec.start is None else max(0, spec.start - 1)
+            hi = rank if spec.stop is None else min(spec.stop, rank)
+            return slice(lo, hi, spec.step)
+        if np.issubdtype(type(spec), np.integer):
+            return slice(0, spec)
+        raise ValueError(
+            'Invalid type {:}. Must be either int or slice.'
+            .format(type(spec))
+        )
+
+    def _mode_pool(self, spec, rotated):
+        """Mode count entering the mode-space products.
+
+        A rotated result always mixes all ``n_rot`` rotated modes (the
+        requested slice applies after the mixing); unrotated results
+        only ever touch the requested columns (``None`` = all).
+        """
+        if rotated:
+            return self._analysis['n_rot']
+        if isinstance(spec, slice):
+            return spec.stop
+        return spec
 
     def _get_min_mode(self, n=None, rotated=False):
         n_modes = [self._analysis['rank']]
@@ -363,15 +544,17 @@ class MCA:
         Weights broadcast against the packed 2-D (time, space) fields,
         matching reference xmca/array.py:317-349.
         """
+        self._require_resident_fields('apply_weights')
         weights = {'left': left, 'right': right}
         weights = {k: 1 if w is None else w for k, w in weights.items()}
         self._fields = {
-            k: f * jnp.asarray(np.asarray(weights[k]))
+            k: _mul_dev(f, jnp.asarray(np.asarray(weights[k])))
             for k, f in self._fields.items()
         }
 
     def normalize(self):
         """Normalize each time series by its standard deviation."""
+        self._require_resident_fields('normalize')
         for k in self._keys:
             self._fields[k] = _pre.standardize(
                 self._fields[k], jnp.asarray(self._field_stds[k])
@@ -409,6 +592,7 @@ class MCA:
 
     # ------------------------------------------------------------ raw views
     def _get_X(self, original_scale=False, real=False):
+        self._require_resident_fields('fields')
         X = {k: _to_np(f) for k, f in self._fields.items()}
         if real:
             X = {k: x.real for k, x in X.items()}
@@ -423,6 +607,7 @@ class MCA:
         argument is re-uploaded on every dispatch — measured 3.0 s/run
         vs 0.1 s/run for the at-scale bootstrap ensemble.
         """
+        self._require_resident_fields('bootstrapping')
         X = dict(self._fields)
         if real:
             X = {
@@ -456,16 +641,17 @@ class MCA:
         Parameters mirror the reference (xmca/array.py:509-603); the whole
         pipeline — optional Hilbert complexification with exp/theta
         extension, per-field Gram decompositions, kernel SVD — runs as
-        jitted XLA.
+        jitted XLA.  Chunk-backed models (``from_chunks``) route through
+        the out-of-core streamed pipeline instead.
         """
+        if self._is_chunk_backed():
+            return self._solve_streamed(complexify, extend, period)
         if len(self._fields) == 0:
             raise RuntimeError(
                 'Fields are empty. Did you forget to load data?'
             )
         if any(
-            # device-side reduction; only a bool crosses to host (a direct
-            # np.asarray of a complex device array fails on axon)
-            bool(jnp.isnan(jnp.abs(field)).all())
+            bool(_all_nan_dev(field))
             for field in self._fields.values()
         ):
             raise RuntimeError(
@@ -475,6 +661,20 @@ class MCA:
         self._analysis['is_complex'] = complexify
         self._analysis['extend'] = extend
         self._analysis['theta_period'] = period
+
+        mesh = self._ensemble_mesh
+        if mesh is not None and 'space' in mesh.axis_names:
+            # multi-chip solve: shard the space axis over the mesh and
+            # let GSPMD partition the jitted pipeline — the temporal
+            # Gram becomes per-device partials + a psum over ICI, the
+            # n x n reduction stays replicated, and the spatial
+            # back-projection is local to each shard
+            from jax.sharding import NamedSharding, PartitionSpec
+            sharding = NamedSharding(mesh, PartitionSpec(None, 'space'))
+            self._fields = {
+                k: jax.device_put(f, sharding)
+                for k, f in self._fields.items()
+            }
 
         if self._analysis['is_complex']:
             self._fields = {
@@ -571,6 +771,65 @@ class MCA:
         return (np.asarray(s), Vs,
                 (float(totals[0]), float(totals[1])))
 
+    def _solve_streamed(self, complexify, extend, period):
+        """Out-of-core solve of a chunk-backed model.
+
+        Streams each field through the chip twice (exactly-centered
+        Gram pass + projection pass, xmca_tpu.core.streaming), captures
+        the column means/stds and the unwhitened PC series along the
+        way, and installs the same model state an in-memory truncated
+        solve produces — the result layer is oblivious to how the
+        decomposition was obtained.
+        """
+        if extend:
+            raise ValueError(
+                'Chunk-backed solves support plain Hilbert '
+                'complexification only (extend must be False): forecast '
+                'extension needs every column\'s full series at once.'
+            )
+        from xmca_tpu.core.streaming import streamed_mca
+
+        self._analysis['is_complex'] = complexify
+        self._analysis['extend'] = extend
+        self._analysis['theta_period'] = period
+
+        n_modes = self._solver_truncate or 20
+        dtype = (np.dtype('float64') if jax.config.jax_enable_x64
+                 else np.dtype('float32'))
+        loaders = self._chunk_loaders
+        res = streamed_mca(
+            loaders['left'], loaders.get('right'),
+            self._n_observations['left'], n_modes,
+            complexify=complexify,
+            key=jax.random.PRNGKey(self._solver_seed),
+            n_iter=self._subspace_iters, dtype=dtype,
+        )
+
+        self._field_means = {k: res.means[k] for k in self._keys}
+        self._field_stds = {k: res.stds[k] for k in self._keys}
+        self._V = dict(zip(self._keys, (res.V_left, res.V_right)))
+        self._stream_scores = dict(
+            zip(self._keys, (res.scores_left, res.scores_right))
+        )
+
+        svals = res.svals
+        self._singular_values = svals
+        self._variance = svals
+        self._var_idx = np.argsort(svals)[::-1]
+        self._norm = {k: np.sqrt(svals) for k in self._keys}
+        self._analysis['total_covariance'] = res.total_covariance
+        self._analysis['total_squared_covariance'] = (
+            res.total_squared_covariance
+        )
+        self._analysis['rank'] = len(svals)
+        self._analysis['is_truncated'] = True
+        self._analysis['is_truncated_at'] = len(svals)
+        self._analysis['is_rotated'] = False
+        self._analysis['n_rot'] = len(svals)
+        self._analysis['power'] = 0
+        self._rotation_matrix = np.eye(len(svals))
+        self._correlation_matrix = np.eye(len(svals))
+
     # --------------------------------------------------------------- rotate
     def rotate(self, n_rot, power=1, tol=1e-8):
         """Perform Promax (power>1) / Varimax (power=1) rotation.
@@ -589,19 +848,14 @@ class MCA:
 
         # rotate loadings (Cheng & Dunkerton 1995).  The (p, n_rot)
         # loading stack is assembled from the device-resident singular
-        # vectors when solve left them there — the host round trip
-        # (materialize + re-upload through a ~45 MB/s tunnel) costs more
-        # than the rotation itself at production shapes.
-        dev = getattr(self, '_V_dev', None)
-        if dev is not None:
-            n_vars_left = dev['left'].shape[0]
-            L = jnp.concatenate(
-                [dev[k][:, :n_rot] for k in self._keys], axis=0
-            )
-        else:
-            V = self._get_V(n_rot, rotated=False)
-            n_vars_left = V['left'].shape[0]
-            L = _to_dev(np.concatenate([V[k] for k in self._keys]))
+        # vectors — the host round trip (materialize + re-upload through
+        # a ~45 MB/s tunnel) costs more than the rotation itself at
+        # production shapes.
+        dev = self._basis_dev()
+        n_vars_left = dev['left'].shape[0]
+        L = jnp.concatenate(
+            [dev[k][:, :n_rot] for k in self._keys], axis=0
+        )
         L = L * jnp.asarray(
             sqrt_svals, dtype=jnp.finfo(L.dtype).dtype
         )
@@ -685,6 +939,25 @@ class MCA:
         self._V_host = value
         self._V_dev = None
 
+    def _basis_dev(self):
+        """Device-resident singular vectors, the result layer's input.
+
+        Solve leaves them on device; analyses restored via
+        ``load_analysis`` live on host and are uploaded (split-complex)
+        at most once.
+        """
+        dev = getattr(self, '_V_dev', None)
+        if dev is None:
+            host = getattr(self, '_V_host', None)
+            if host is None:
+                raise RuntimeError(
+                    'Cannot retrieve singular vectors. '
+                    'Please call the method `solve` first.'
+                )
+            dev = {k: _to_dev(v) for k, v in host.items()}
+            self._V_dev = dev
+        return dev
+
     def _get_svals(self, n=None):
         modes = self._get_slice(n)
         try:
@@ -696,134 +969,152 @@ class MCA:
             )
 
     def _get_norm(self, n=None, sorted=True):
-        modes = self._get_slice(n)
+        """Per-field mode norms, variance-ordered unless ``sorted=False``."""
         try:
-            norm = self._norm
+            norms = self._norm
         except AttributeError:
             raise RuntimeError(
                 'Cannot retrieve field norms. '
                 'Please call the method `solve` first.'
             )
+        keep = self._get_slice(n)
         if sorted:
-            idx = self._var_idx
-            norm = {k: nrm[idx] for k, nrm in norm.items()}
-        return {k: nrm[modes] for k, nrm in norm.items()}
+            return {k: v[self._var_idx][keep] for k, v in norms.items()}
+        return {k: v[keep] for k, v in norms.items()}
 
     def _get_variance(self, n=None, sorted=True):
-        norm = self._get_norm(n=n, sorted=sorted)
+        norms = self._get_norm(n=n, sorted=sorted)
         if self._analysis['is_bivariate']:
-            return norm['left'] * norm['right']
-        return norm['left'] ** 2
+            return norms['left'] * norms['right']
+        return norms['left'] ** 2
+
+    def _rotation_weights(self, pool):
+        """(√s, 1/√s) over the mode pool — the column weights every
+        mode-space product needs."""
+        roots = np.sqrt(self._get_svals(pool))
+        return roots, 1.0 / roots
 
     def _get_V(self, n=None, rotated=True):
-        if rotated:
-            max_mode = self._analysis['n_rot']
-        else:
-            max_mode = n.stop if isinstance(n, slice) else n
+        """Spatial singular vectors as host numpy.
 
-        keep_modes = self._get_slice(n)
-        try:
-            V = {k: v[:, :max_mode] for k, v in self._V.items()}
-        except AttributeError:
-            raise RuntimeError(
-                'Cannot retrieve singular vectors. '
-                'Please call the method `solve` first.'
-            )
+        Rotated vectors are built on device from the resident basis
+        (one fused program: scale by √s, mix through R, normalize,
+        variance-order) and only the mixed ``n_rot`` columns cross the
+        link; unrotated vectors come from the cached host copy.
+        """
+        pool = self._mode_pool(n, rotated)
+        keep = self._get_slice(n)
+        if not rotated:
+            try:
+                host = self._V
+            except AttributeError:
+                raise RuntimeError(
+                    'Cannot retrieve singular vectors. '
+                    'Please call the method `solve` first.'
+                )
+            return {k: host[k][:, :pool][:, keep] for k in self._keys}
 
-        for k in self._keys:
-            if rotated:
-                sqrt_svals = np.sqrt(self._get_svals(max_mode))
-                norm = self._get_norm(max_mode, sorted=False)
-                R = self.rotation_matrix()
-                V[k] = V[k] * sqrt_svals @ R / norm[k]
-                V[k] = V[k][:, self._var_idx]
-            V[k] = V[k][:, keep_modes]
-        return V
+        basis = self._basis_dev()
+        col_w, _ = self._rotation_weights(pool)
+        inv_norm = self._get_norm(pool, sorted=False)
+        R = _to_dev(self.rotation_matrix())
+        return {
+            k: _to_np(_loadings_kernel(
+                basis[k], col_w, R, 1.0 / inv_norm[k], self._var_idx,
+                pool=pool,
+            ))[:, keep]
+            for k in self._keys
+        }
 
     def _get_U(self, n=None, rotated=True):
-        if rotated:
-            max_mode = self._analysis['n_rot']
-        else:
-            max_mode = n.stop if isinstance(n, slice) else n
+        """PC time series: the stored fields projected through the
+        device-resident basis, whitened by √s (and mixed through R⁻ᵀ
+        when rotated) — one fused device program per field.  Streamed
+        solves captured the raw scores during their projection pass;
+        those feed the same pipeline without the data."""
+        pool = self._mode_pool(n, rotated)
+        keep = self._get_slice(n)
+        _, whiten = self._rotation_weights(pool)
+        stream = getattr(self, '_stream_scores', None)
+        R_it = (_to_dev(self.rotation_matrix(inverse_transpose=True))
+                if rotated else None)
 
-        keep_modes = self._get_slice(n)
-        dev = getattr(self, '_V_dev', None)
-        V_host = None if dev is not None else self._get_V(
-            max_mode, rotated=False
-        )
-        sqrt_svals = np.sqrt(self._get_svals(max_mode))
-        R = self.rotation_matrix(inverse_transpose=True)
-
-        U = {}
-        for k in self._keys:
-            # PC time series: one device matmul per field, consuming the
-            # device-resident singular vectors when solve left them there
-            if dev is not None:
-                Vk = dev[k][:, :max_mode]
-            else:
-                Vk = _to_dev(V_host[k])
-            Uk = _to_np(self._fields[k] @ Vk)
-            Uk = Uk / sqrt_svals
+        def series(k):
+            if stream is not None:
+                if rotated:
+                    return _whiten_scores_rotated_kernel(
+                        stream[k], whiten, R_it, self._var_idx,
+                        pool=pool,
+                    )
+                return _whiten_scores_kernel(stream[k], whiten,
+                                             pool=pool)
+            basis = self._basis_dev()
             if rotated:
-                Uk = Uk @ R
-                Uk = Uk[:, self._var_idx]
-            U[k] = Uk[:, keep_modes]
-        return U
+                return _scores_rotated_kernel(
+                    self._fields[k], basis[k], whiten, R_it,
+                    self._var_idx, pool=pool,
+                )
+            return _scores_kernel(
+                self._fields[k], basis[k], whiten, pool=pool,
+            )
 
-    def _get_eofs(self, n=None, scaling='None', phase_shift=0, rotated=True):
+        return {k: _to_np(series(k))[:, keep] for k in self._keys}
+
+    @staticmethod
+    def _rescale_modes(arr, scaling, eigen_norm, ref=None):
+        """The shared mode-scaling ladder (None / eigen / max / std).
+
+        ``ref`` supplies the max/std statistics (defaults to ``arr``
+        itself — ``predict`` normalizes new PCs by the *original* PCs'
+        statistics); reductions run over every non-mode axis.
+        """
+        if scaling == 'None':
+            return arr
+        if scaling == 'eigen':
+            return arr * eigen_norm
+        if scaling not in ('max', 'std'):
+            raise ValueError(
+                'The scaling option {:} is not valid. Please choose '
+                'one of the following: None, eigen, std, max'
+                .format(scaling)
+            )
+        stats_src = (arr if ref is None else ref).real
+        axes = tuple(range(stats_src.ndim - 1))
+        if scaling == 'max':
+            return arr / np.nanmax(np.abs(stats_src), axis=axes)
+        return arr / np.nanstd(stats_src, axis=axes)
+
+    def _shift_phase(self, arr, phase_shift):
+        """Rotate a complex result by a global phase (no-op for real
+        analyses, matching the reference)."""
+        if self._analysis['is_complex']:
+            return arr * cmath.rect(1, phase_shift)
+        return arr
+
+    def _get_eofs(self, n=None, scaling='None', phase_shift=0,
+                  rotated=True):
         V = self._get_V(n, rotated=rotated)
-        n_var = self._n_variables
-        no_nan_idx = self._no_nan_index
-        field_shape = self._fields_spatial_shape
-        eofs = {}
+        grids = self._scatter_to_grid(V)
+        # quirk parity: eigen scaling keys the norms by *returned mode
+        # count*, not by the requested spec (unlike _get_pcs)
+        count = V['left'].shape[1]
+        return {
+            k: self._rescale_modes(
+                self._shift_phase(grid, phase_shift), scaling,
+                self._get_norm(count, sorted=True)[k],
+            )
+            for k, grid in grids.items()
+        }
 
-        for k in self._keys:
-            n_modes = V[k].shape[1]
-            out = np.zeros([n_var[k], n_modes], dtype=V[k].dtype) * np.nan
-            out[no_nan_idx[k], :] = V[k]
-            eof = out.reshape(field_shape[k] + (n_modes,))
-            if self._analysis['is_complex']:
-                eof = eof * cmath.rect(1, phase_shift)
-            if scaling == 'None':
-                pass
-            elif scaling == 'eigen':
-                n_max_mode = V['left'].shape[1]
-                norm = self._get_norm(n_max_mode, sorted=True)
-                eof = eof * norm[k]
-            elif scaling == 'max':
-                eof = eof / np.nanmax(abs(eof.real), axis=(0, 1))
-            elif scaling == 'std':
-                eof = eof / np.nanstd(eof.real, axis=(0, 1))
-            else:
-                raise ValueError(
-                    'The scaling option {:} is not valid. Please choose '
-                    'one of the following: None, eigen, std, max'
-                    .format(scaling)
-                )
-            eofs[k] = eof
-        return eofs
-
-    def _get_pcs(self, n=None, scaling='None', phase_shift=0, rotated=True):
-        U = self._get_U(n, rotated=rotated)
-        for k in self._keys:
-            if self._analysis['is_complex']:
-                U[k] = U[k] * cmath.rect(1, phase_shift)
-            if scaling == 'None':
-                pass
-            elif scaling == 'eigen':
-                norm = self._get_norm(n, sorted=True)
-                U[k] = U[k] * norm[k]
-            elif scaling == 'max':
-                U[k] = U[k] / np.nanmax(abs(U[k].real), axis=0)
-            elif scaling == 'std':
-                U[k] = U[k] / np.nanstd(U[k].real, axis=0)
-            else:
-                raise ValueError(
-                    'The scaling option {:} is not valid. Please choose '
-                    'one of the following: None, eigen, std, max'
-                    .format(scaling)
-                )
-        return U
+    def _get_pcs(self, n=None, scaling='None', phase_shift=0,
+                 rotated=True):
+        return {
+            k: self._rescale_modes(
+                self._shift_phase(series, phase_shift), scaling,
+                self._get_norm(n, sorted=True)[k],
+            )
+            for k, series in self._get_U(n, rotated=rotated).items()
+        }
 
     def singular_values(self, n=None):
         """Return the first `n` singular values."""
@@ -895,27 +1186,31 @@ class MCA:
         }
 
     # --------------------------------------------- correlation pattern maps
+    @staticmethod
+    def _corr_pvalues(r, n_obs):
+        """Two-sided p-values of Pearson correlations:
+        2 * BetaCDF(-|r|; a=b=n/2-1, loc=-1, scale=2) via the
+        regularized incomplete beta function."""
+        from scipy.special import betainc
+        a = n_obs / 2.0 - 1.0
+        return 2 * betainc(a, a, np.clip((1.0 - np.abs(r)) / 2.0, 0, 1))
+
     def _pearsonr(self, x, y):
         """Pearson correlation of columns of x vs columns of y + p-values.
 
-        Device-side matmul equivalent of the reference's
-        ``np.corrcoef``-based helper (xmca/tools/array.py:76-88); p-values
-        via the regularized incomplete beta function.
+        Host-facing equivalent of the reference's ``np.corrcoef``-based
+        helper (xmca/tools/array.py:76-88).  The pattern methods use the
+        fused device kernel instead (:func:`_pattern_kernel`).
         """
         if x.shape[0] != y.shape[0]:
             raise ValueError('Time dimensions are different.')
-        n = x.shape[0]
         xc = x - x.mean(axis=0)
         yc = y - y.mean(axis=0)
         xn = np.linalg.norm(xc, axis=0)
         yn = np.linalg.norm(yc, axis=0)
         r = _to_np(jnp.asarray(xc).T @ jnp.asarray(yc))
         r = r / np.outer(xn, yn)
-        # two-sided p-value: 2 * BetaCDF(-|r|; a=b=n/2-1, loc=-1, scale=2)
-        from scipy.special import betainc
-        a = n / 2.0 - 1.0
-        p = 2 * betainc(a, a, np.clip((1.0 - np.abs(r)) / 2.0, 0, 1))
-        return r, p
+        return r, self._corr_pvalues(r, x.shape[0])
 
     def _scatter_to_grid(self, data):
         """Re-insert NaN columns and reshape (n_vars, modes) maps to grid."""
@@ -931,45 +1226,86 @@ class MCA:
             )
         return out
 
+    def _correlation_maps(self, pairs, n, phase_shift):
+        """Correlation maps field-vs-PCs, fully fused on device.
+
+        ``pairs``: (field key, PC-source key) tuples.  Projection,
+        rotation, phase shift, centering and the (p, k) correlation
+        contraction run as one device program against the resident
+        basis — the full field never crosses to host; only the (p, k)
+        map does.  p-values come from the map on host (scipy betainc).
+        """
+        self._require_resident_fields('correlation patterns')
+        pool = self._mode_pool(n, True)
+        keep = self._get_slice(n)
+        basis = self._basis_dev()
+        _, whiten = self._rotation_weights(pool)
+        R_it = _to_dev(self.rotation_matrix(inverse_transpose=True))
+        if self._analysis['is_complex']:
+            cos_p, sin_p = np.cos(phase_shift), np.sin(phase_shift)
+        else:
+            cos_p, sin_p = 1.0, 0.0
+        r, p = {}, {}
+        for key, source in pairs:
+            rmap = _to_np(_pattern_kernel(
+                self._fields[key], self._fields[source], basis[source],
+                whiten, R_it, self._var_idx, cos_p, sin_p,
+                pool=pool, keep=keep,
+            ))
+            r[key] = rmap
+            p[key] = self._corr_pvalues(rmap, self._n_observations[key])
+        return self._scatter_to_grid(r), self._scatter_to_grid(p)
+
     def homogeneous_patterns(self, n=None, phase_shift=0):
         """Correlation maps of each field with its own PCs (+ p-values)."""
-        pcs = self._get_pcs(n=n, phase_shift=phase_shift)
-        Xraw = self._get_X(real=True)
-        r, p = {}, {}
-        for key in self._keys:
-            r[key], p[key] = self._pearsonr(Xraw[key], pcs[key].real)
-        return self._scatter_to_grid(r), self._scatter_to_grid(p)
+        return self._correlation_maps(
+            [(k, k) for k in self._keys], n, phase_shift
+        )
 
     def heterogeneous_patterns(self, n=None, phase_shift=0):
         """Correlation maps of each field with the *other* field's PCs."""
-        pcs = self._get_pcs(n=n, phase_shift=phase_shift)
-        Xraw = self._get_X(real=True)
-        reverse = dict(zip(self._keys, self._keys[::-1]))
-        r, p = {}, {}
-        for key in self._keys:
-            try:
-                r[key], p[key] = self._pearsonr(
-                    Xraw[key], pcs[reverse[key]].real
-                )
-            except KeyError:
-                raise KeyError(
-                    'Key not found. Two fields needed for heterogenous maps.'
-                )
-        return self._scatter_to_grid(r), self._scatter_to_grid(p)
+        other = dict(zip(self._keys, self._keys[::-1]))
+        try:
+            pairs = [(k, other[k]) for k in self._keys]
+        except KeyError:
+            raise KeyError(
+                'Key not found. Two fields needed for heterogenous maps.'
+            )
+        return self._correlation_maps(pairs, n, phase_shift)
 
     # ------------------------------------------------------- reconstruction
+    def _reconstructed_X_dev(self, key, mode=None):
+        """Mode-subset reconstruction of one field, device-resident.
+
+        The eigen-scaled rotated PCs and the rotated spatial vectors are
+        both assembled from the resident basis inside one fused program
+        and contracted there — nothing crosses to host.  The iterative
+        bootstrap consumes this directly (one deflation per mode with no
+        full-field transfer; a (2000, 100k) field costs ~18 s each way
+        through the tunnel).
+        """
+        self._require_resident_fields('reconstruction')
+        pool = self._analysis['n_rot']
+        keep = self._get_slice(mode)
+        basis = self._basis_dev()
+        col_w, whiten = self._rotation_weights(pool)
+        return _reconstruct_kernel(
+            self._fields[key], basis[key],
+            whiten, _to_dev(self.rotation_matrix(inverse_transpose=True)),
+            col_w, _to_dev(self.rotation_matrix()),
+            1.0 / self._get_norm(pool, sorted=False)[key],
+            self._get_norm(mode, sorted=True)[key],
+            self._var_idx, pool=pool, keep=keep,
+        )
+
     def _reconstructed_X(self, mode=None, original_scale=True):
-        V = self._get_V(n=mode, rotated=True)
-        U = self._get_pcs(n=mode, scaling='eigen', rotated=True)
-        Xrec = {}
-        for loc in self._keys:
-            rec = _to_np(
-                _to_dev(U[loc]) @ _to_dev(V[loc]).conj().T
-            )
-            Xrec[loc] = rec.real
+        rec = {
+            k: _to_np(self._reconstructed_X_dev(k, mode))
+            for k in self._keys
+        }
         if original_scale:
-            Xrec = self._scale_X_inverse(Xrec)
-        return Xrec
+            rec = self._scale_X_inverse(rec)
+        return rec
 
     def _reconstructed_fields(self, mode=None, original_scale=True):
         Xrec = self._reconstructed_X(mode=mode, original_scale=original_scale)
@@ -987,89 +1323,78 @@ class MCA:
         )
 
     # ----------------------------------------------------------- prediction
+    def _conform_new_data(self, key, arr):
+        """Pack new data onto the solved grid: flatten the space axes,
+        drop the training NaN columns, apply the training scaling.
+
+        Shape mismatches raise the same diagnostics a user of the
+        reference sees (xmca/array.py:1321-1360)."""
+        try:
+            flat = arr.reshape(arr.shape[0], self._n_variables[key])
+            flat = flat[:, self._no_nan_index[key]]
+        except ValueError as err:
+            if arr.ndim != len(self._shape[key]):
+                msg = (
+                    'Error in {:} field. Dimension of new data ({:}) '
+                    'and the original field ({:}) do not match. '
+                    'Did you forget the time dimension?'
+                ).format(key, arr.ndim, len(self._shape[key]))
+            elif arr.shape[1:] != self._field_means[key].shape:
+                msg = (
+                    'Error in {:} field. Spatial dimensions of new '
+                    'data {:} and the original field {:} do not match.'
+                ).format(key, arr.shape[1:], self._shape[key][1:])
+            else:
+                msg = 'Dimension mismatch in {:} field.'.format(key)
+            raise ValueError(msg) from err
+        try:
+            return self._scale_X({key: flat})[key]
+        except ValueError as err:
+            raise ValueError(
+                'Error in {:} field. Spatial dimensions of new data '
+                '{:} and the original field {:} do not match.'
+                .format(key, flat.shape[1:], self._field_means[key].shape)
+            ) from err
+
     def predict(self, left=None, right=None, n=None, scaling='None',
                 phase_shift=0):
-        """Project new data onto the singular vectors to predict their PCs.
+        """Project new data onto the singular vectors to predict its PCs.
 
-        Parity with reference xmca/array.py:1299-1428 (including rotation
-        and variance reordering of the projected PCs).
+        New data is uploaded once per field and projected through the
+        device-resident basis with the same fused kernel the PC getter
+        uses (unrotated projection, whitening, rotation mixing, variance
+        ordering — behavioral parity with reference
+        xmca/array.py:1299-1428).
         """
-        keys = self._keys
-        data = [left, right]
-        data_new = {
-            k: d.copy() for k, d in zip(keys, data) if d is not None
+        new_data = {
+            k: d for k, d in zip(self._keys, (left, right))
+            if d is not None
         }
 
-        shape = self._shape
-        n_vars = self._n_variables
-        no_nan_idx = self._no_nan_index
-        fields_mean = self._field_means
+        basis = self._basis_dev()
+        R_it = self.rotation_matrix(inverse_transpose=True)
+        pool = R_it.shape[0]
+        R_dev = _to_dev(R_it)
+        _, whiten = self._rotation_weights(pool)
+        count = pool if n is None else n
 
-        V = self._get_V(rotated=False)
-        sqrt_svals = np.sqrt(self._get_svals())
-        R = self.rotation_matrix(inverse_transpose=True)
-        n_rot = R.shape[0]
-        var_idx = self._var_idx
-        if n is None:
-            n = R.shape[0]
-
-        pcs_new = {}
-        for k, x_new in data_new.items():
-            try:
-                x_new = x_new.reshape(x_new.shape[0], n_vars[k])
-                x_new = x_new[:, no_nan_idx[k]]
-            except ValueError as err:
-                if len(x_new.shape) != len(shape[k]):
-                    msg = (
-                        'Error in {:} field. Dimension of new data ({:}) '
-                        'and the original field ({:}) do not match. '
-                        'Did you forget the time dimension?'
-                    ).format(k, len(x_new.shape), len(shape[k]))
-                elif x_new.shape[1:] != fields_mean[k].shape:
-                    msg = (
-                        'Error in {:} field. Spatial dimensions of new '
-                        'data {:} and the original field {:} do not match.'
-                    ).format(k, x_new.shape[1:], shape[k][1:])
-                else:
-                    msg = 'Dimension mismatch in {:} field.'.format(k)
-                raise ValueError(msg) from err
-            try:
-                x_new = self._scale_X({k: x_new})[k]
-            except ValueError as err:
-                raise ValueError(
-                    'Error in {:} field. Spatial dimensions of new data '
-                    '{:} and the original field {:} do not match.'
-                    .format(k, x_new.shape[1:], fields_mean[k].shape)
-                ) from err
-
-            pcs = _to_np(
-                _to_dev(x_new) @ _to_dev(V[k][:, :n_rot])
-            ) / sqrt_svals[:n_rot]
-            pcs = pcs @ R
-            pcs = pcs[:, var_idx]
-            pcs = pcs[:, :n]
-
-            if self._analysis['is_complex']:
-                pcs = pcs * cmath.rect(1, phase_shift)
-            if scaling == 'None':
-                pass
-            elif scaling == 'eigen':
-                norm = self._get_norm(n, sorted=True)
-                pcs = pcs * norm[k]
-            elif scaling == 'max':
-                original_pcs = self._get_pcs(n, 'None', phase_shift)
-                pcs = pcs / np.nanmax(abs(original_pcs[k].real), axis=0)
-            elif scaling == 'std':
-                original_pcs = self._get_pcs(n, 'None', phase_shift)
-                pcs = pcs / np.nanstd(original_pcs[k].real, axis=0)
+        predicted = {}
+        for k, arr in new_data.items():
+            packed = self._conform_new_data(k, arr)
+            scores = _to_np(_scores_rotated_kernel(
+                _to_dev(packed), basis[k], whiten, R_dev,
+                self._var_idx, pool=pool,
+            ))[:, :count]
+            scores = self._shift_phase(scores, phase_shift)
+            if scaling in ('max', 'std'):
+                ref = self._get_pcs(count, 'None', phase_shift)[k]
             else:
-                raise ValueError(
-                    'The scaling option {:} is not valid. Please choose '
-                    'one of the following: None, eigen, std, max'
-                    .format(scaling)
-                )
-            pcs_new[k] = pcs
-        return pcs_new
+                ref = None
+            predicted[k] = self._rescale_modes(
+                scores, scaling, self._get_norm(count, sorted=True)[k],
+                ref=ref,
+            )
+        return predicted
 
     # ----------------------------------------------------------- truncation
     def truncate(self, n):
@@ -1089,6 +1414,11 @@ class MCA:
             host = getattr(self, '_V_host', None)
             if host is not None:
                 self._V_host = {k: v[:, :n] for k, v in host.items()}
+            stream = getattr(self, '_stream_scores', None)
+            if stream is not None:
+                self._stream_scores = {
+                    k: s[:, :n] for k, s in stream.items()
+                }
             self._analysis['is_truncated'] = True
             self._analysis['is_truncated_at'] = n
 
@@ -1125,9 +1455,11 @@ class MCA:
             # accumulation); see set_solver(surrogate_dtype=...)
             dtype = np.dtype(jnp.bfloat16)
         else:
-            dtype = np.dtype(
-                jnp.finfo(self._fields[self._keys[0]].dtype).dtype
-            )
+            lead = self._fields.get(self._keys[0])
+            base = (lead.dtype if lead is not None
+                    else ('float64' if jax.config.jax_enable_x64
+                          else 'float32'))
+            dtype = np.dtype(jnp.finfo(base).dtype)
 
         n_modes_fast = None
         if self._ensemble_spectrum == 'fast':
@@ -1244,13 +1576,12 @@ class MCA:
         for mode in range(n_mode_iters):
             X_surr = self._get_X_dev(real=True)
             if strategy == 'iterative':
-                X_rec = self._reconstructed_X(
-                    mode=mode, original_scale=False
-                )
+                # deflate the leading modes entirely on device — the
+                # reconstruction never exists on host (a full-field
+                # round trip per mode would dominate the ensemble)
                 for k in X_surr.keys():
-                    # one upload per MODE (reused by every run's dispatch)
-                    X_surr[k] = X_surr[k] - jnp.asarray(
-                        np.real(X_rec[k])
+                    X_surr[k] = _sub_dev(
+                        X_surr[k], self._reconstructed_X_dev(k, mode)
                     )
 
             spectra, converged = _sig.bootstrap_spectra(

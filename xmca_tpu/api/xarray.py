@@ -15,10 +15,18 @@ xmca/xarray.py:1419); ``_scale_X`` applies normalize/coslat per field.
 import os
 
 import numpy as np
+import jax
+import jax.numpy as jnp
 
 from xmca_tpu.api.array import MCA
 from xmca_tpu.compat import xr, open_dataarray
 from xmca_tpu.utils.text import secure_str
+
+
+@jax.jit
+def _scale_columns_dev(field, cols):
+    """Per-column multiply on device (jitted: complex-safe on axon)."""
+    return field * cols
 
 
 def _is_dataarray(obj):
@@ -68,6 +76,40 @@ class xMCA(MCA):
                   for key, field in fields.items()}
         super().__init__(*fields.values())
 
+    @classmethod
+    def from_chunks(cls, left, right=None, *, coords, right_coords=None,
+                    dims=('time', 'lat', 'lon')):
+        """Build a chunk-backed (out-of-core) labeled model.
+
+        ``left``/``right`` are chunk loaders as in
+        :meth:`xmca_tpu.array.MCA.from_chunks`; ``coords`` (and
+        ``right_coords`` when the grids differ) map every dim in
+        ``dims`` to its coordinate values — the field shapes follow
+        from the coordinate lengths.  Results wrap into labeled
+        DataArrays exactly like the in-memory constructor's.
+        """
+        rcoords = coords if right_coords is None else right_coords
+        spatial = tuple(dims[1:])
+        model = super().from_chunks(
+            left, right,
+            n_observations=int(np.asarray(coords[dims[0]]).size),
+            left_shape=tuple(
+                int(np.asarray(coords[d]).size) for d in spatial
+            ),
+            right_shape=tuple(
+                int(np.asarray(rcoords[d]).size) for d in spatial
+            ) if right is not None else None,
+        )
+        model._field_dims = {}
+        model._field_coords = {}
+        for key, c in (('left', coords), ('right', rcoords)):
+            if key in model._keys:
+                model._field_dims[key] = tuple(dims)
+                model._field_coords[key] = {
+                    d: np.asarray(c[d]) for d in dims
+                }
+        return model
+
     # ------------------------------------------------------------- scaling
     def _coslat_weights(self, k):
         """sqrt(cos(lat)) weights on the packed columns of field `k`."""
@@ -107,32 +149,74 @@ class xMCA(MCA):
         return scaled
 
     # ----------------------------------------------------------- weighting
-    def apply_weights(self, **weights):
-        """Multiply fields by (dim-broadcast) DataArray weights."""
-        fields = self.fields()
-        n_obs = self._n_observations
-        n_vars = self._n_variables
-        no_nan_idx = self._no_nan_index
+    def _weight_columns(self, k, weight):
+        """Evaluate a weight on field `k`'s spatial grid and pack it
+        onto the kept (non-NaN) columns.
 
+        The broadcast runs against a tiny host-side template carrying
+        the field's spatial dims/coords (so DataArray weights align
+        exactly as they would against the full field).  Returns None
+        when the weight does not reduce to a purely spatial vector
+        (e.g. time-varying) — the caller then falls back to the
+        materialize-and-repack path.
+        """
+        spatial_dims = tuple(self._field_dims[k][1:])
+        coords = {
+            d: self._field_coords[k][d]
+            for d in spatial_dims if d in self._field_coords[k]
+        }
+        template = xr.DataArray(
+            np.ones(self._fields_spatial_shape[k]),
+            dims=spatial_dims, coords=coords,
+        )
+        try:
+            w = np.asarray((template * weight).values)
+            w = np.broadcast_to(w, self._fields_spatial_shape[k])
+        except Exception:
+            return None
+        return w.reshape(-1)[self._no_nan_index[k]]
+
+    def _apply_weights_host(self, k, weight):
+        """Fallback for weights that are not a per-column spatial
+        vector: materialize the field, broadcast, re-pack, re-upload
+        (the reference's semantics, at the reference's cost)."""
+        field = self.fields()[k]
+        new_field = (field * weight).data
+        try:
+            new_field = new_field.reshape(
+                self._n_observations[k], self._n_variables[k]
+            )
+            new_field = new_field[:, self._no_nan_index[k]]
+        except ValueError as err:
+            raise ValueError(
+                'Error for {:} weights. Mismatch between dimensions '
+                'of weights ({:}) and original field ({:}).'
+                .format(k, np.shape(weight), field.shape)
+            ) from err
+        self._fields[k] = jnp.asarray(new_field)
+
+    def apply_weights(self, **weights):
+        """Multiply fields by (dim-broadcast) DataArray weights.
+
+        The weight is evaluated on the spatial grid host-side (tiny),
+        packed onto the kept columns, and applied to the device-resident
+        field under jit — the full field never round-trips through the
+        host (at north-star scale that transfer alone costs ~70 s over
+        a tunneled TPU link; the device multiply is microseconds).
+        """
         for k, weight in weights.items():
-            try:
-                new_field = (fields[k] * weight).data
-            except KeyError as err:
+            if k not in self._fields:
                 raise KeyError(
                     'Key `{:}` not found. Please use `left` or `right`'
                     .format(k)
-                ) from err
-            try:
-                new_field = new_field.reshape(n_obs[k], n_vars[k])
-                new_field = new_field[:, no_nan_idx[k]]
-            except ValueError as err:
-                raise ValueError(
-                    'Error for {:} weights. Mismatch between dimensions '
-                    'of weights ({:}) and original field ({:}).'
-                    .format(k, np.shape(weight), fields[k].shape)
-                ) from err
-            import jax.numpy as jnp
-            self._fields[k] = jnp.asarray(new_field)
+                )
+            cols = self._weight_columns(k, weight)
+            if cols is None:
+                self._apply_weights_host(k, weight)
+            else:
+                self._fields[k] = _scale_columns_dev(
+                    self._fields[k], jnp.asarray(cols)
+                )
 
     def apply_coslat(self):
         """Apply sqrt(cos(latitude)) area weighting (reference

@@ -7,9 +7,9 @@ that subsequent ops (including fresh compilations) fail too.  Complex
 arrays are therefore ALWAYS moved through an eager real/imag split:
 
 * device -> host (:func:`to_numpy`): two real transfers + host combine;
-* host -> device (:func:`to_device`): two real transfers + one on-device
-  combine (``re + 1j * im`` — eager complex *arithmetic* on device is
-  fully supported; only the transport of complex buffers is not).
+* host -> device (:func:`to_device`): two real transfers + one *jitted*
+  on-device combine (eager complex arithmetic has UNIMPLEMENTED paths
+  on axon too — all complex math stays under jit).
 
 Overhead on healthy backends is one extra combine — negligible next to
 the transfer itself.
@@ -44,6 +44,20 @@ def to_device(x):
     if np.iscomplexobj(x):
         re = jnp.asarray(np.ascontiguousarray(x.real))
         im = jnp.asarray(np.ascontiguousarray(x.imag))
-        return jax.lax.complex(re, im)     # no complex constant, no
-        # complex transport: combine happens entirely on device
+        return _combine_on_device(re, im)  # no complex constant, no
+        # complex transport: the combine runs as jitted device code
+        # (the only eager-complex envelope verified on axon)
     return jnp.asarray(x)
+
+
+_COMBINE = None
+
+
+def _combine_on_device(re, im):
+    """``re + 1j im`` under jit — eager complex arithmetic is not part
+    of the verified axon envelope, jitted complex math is."""
+    global _COMBINE
+    if _COMBINE is None:
+        import jax
+        _COMBINE = jax.jit(jax.lax.complex)
+    return _COMBINE(re, im)
