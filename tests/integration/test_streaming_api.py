@@ -1,0 +1,168 @@
+"""Out-of-core solves through the PUBLIC API (`MCA.from_chunks`).
+
+The chunk loaders read from an on-disk memmap — the model never holds a
+full field in memory — and every result that flows through the public
+surface (singular values, eofs, pcs, rotation, rule_n scaling, predict)
+must match the in-memory truncated solve of the same data.
+"""
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from xmca_tpu.array import MCA
+from xmca_tpu.xarray import xMCA
+
+
+N_OBS, N_LAT, N_LON = 128, 20, 35
+K = 6
+
+
+@pytest.fixture(scope='module')
+def disk_fields(tmp_path_factory):
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal((N_OBS, 6))
+    shape = (N_OBS, N_LAT, N_LON)
+    p = N_LAT * N_LON
+    root = tmp_path_factory.mktemp('chunks')
+    out = {}
+    for name, seed, off in (('left', 1, 1.5), ('right', 2, -0.7)):
+        r = np.random.default_rng(seed)
+        data = (base @ r.standard_normal((6, p))
+                + 0.3 * r.standard_normal((N_OBS, p)) + off)
+        path = root / f'{name}.dat'
+        mm = np.memmap(path, dtype=np.float64, mode='w+', shape=(N_OBS, p))
+        mm[:] = data
+        mm.flush()
+        out[name] = (path, data.reshape(shape))
+    return out
+
+
+def _loader(path, chunk):
+    """Fresh pass over the memmap in (N_OBS, <=chunk) slabs."""
+    def chunks():
+        mm = np.memmap(path, dtype=np.float64, mode='r',
+                       shape=(N_OBS, N_LAT * N_LON))
+        for s in range(0, mm.shape[1], chunk):
+            yield np.asarray(mm[:, s:s + chunk])
+    return chunks
+
+
+def _in_memory(disk_fields, complexify=False):
+    m = MCA(disk_fields['left'][1], disk_fields['right'][1])
+    m.set_solver(truncate=K)
+    m.solve(complexify=complexify)
+    return m
+
+
+def _streamed(disk_fields, complexify=False, chunk=97):
+    m = MCA.from_chunks(
+        _loader(disk_fields['left'][0], chunk),
+        _loader(disk_fields['right'][0], chunk),
+        n_observations=N_OBS, left_shape=(N_LAT, N_LON),
+        right_shape=(N_LAT, N_LON),
+    )
+    m.set_solver(truncate=K)
+    m.solve(complexify=complexify)
+    return m
+
+
+def test_streamed_public_solve_matches_in_memory(disk_fields):
+    ms = _streamed(disk_fields)
+    mm = _in_memory(disk_fields)
+    assert_allclose(ms.singular_values(), mm.singular_values(),
+                    rtol=1e-9)
+    assert ms._analysis['total_covariance'] == pytest.approx(
+        mm._analysis['total_covariance'], rel=1e-9)
+    assert ms._analysis['total_squared_covariance'] == pytest.approx(
+        mm._analysis['total_squared_covariance'], rel=1e-9)
+    eof_s = ms.eofs(K, rotated=False)
+    eof_m = mm.eofs(K, rotated=False)
+    pcs_s = ms.pcs(K, rotated=False)
+    pcs_m = mm.pcs(K, rotated=False)
+    for k in ('left', 'right'):
+        assert_allclose(eof_s[k], eof_m[k], atol=1e-8)
+        assert_allclose(pcs_s[k], pcs_m[k], atol=1e-8)
+
+
+def test_streamed_public_rotate_and_rulen(disk_fields):
+    ms = _streamed(disk_fields)
+    mm = _in_memory(disk_fields)
+    ms.rotate(4)
+    mm.rotate(4)
+    assert_allclose(ms.variance(), mm.variance(), rtol=1e-8)
+    eof_s = ms.eofs(4)
+    eof_m = mm.eofs(4)
+    assert_allclose(eof_s['left'], eof_m['left'], atol=1e-7)
+    # the rule_n rescaling consumes the exact streamed totals
+    surr = np.asarray(ms.rule_n(4, seed=5, disable_progress=True))
+    assert np.isfinite(surr).all() and surr.shape[0] == 4
+
+
+def test_streamed_complex_solve_matches_in_memory(disk_fields):
+    ms = _streamed(disk_fields, complexify=True)
+    mm = _in_memory(disk_fields, complexify=True)
+    assert_allclose(ms.singular_values(), mm.singular_values(),
+                    rtol=1e-8)
+    eof_s = ms.eofs(K, rotated=False)
+    eof_m = mm.eofs(K, rotated=False)
+    pcs_s = ms.pcs(K, rotated=False)
+    pcs_m = mm.pcs(K, rotated=False)
+    # the streamed route folds the analytic signal into the Gram while
+    # the in-memory route Hilbert-transforms the data first — identical
+    # in exact arithmetic, a few 1e-6 apart in f64 on trailing modes
+    for k in ('left', 'right'):
+        assert_allclose(eof_s[k], eof_m[k], atol=1e-5)
+        assert_allclose(pcs_s[k], pcs_m[k], atol=1e-5)
+
+
+def test_streamed_predict_matches_in_memory(disk_fields):
+    ms = _streamed(disk_fields)
+    mm = _in_memory(disk_fields)
+    new = disk_fields['left'][1][:7]
+    assert_allclose(ms.predict(left=new, n=4)['left'],
+                    mm.predict(left=new, n=4)['left'], atol=1e-8)
+
+
+def test_streamed_guards_full_matrix_methods(disk_fields):
+    ms = _streamed(disk_fields)
+    for call in (
+        lambda: ms.fields(),
+        lambda: ms.homogeneous_patterns(3),
+        lambda: ms.reconstructed_fields(2),
+        lambda: ms.bootstrapping(2, n_modes=2, disable_progress=True),
+        lambda: ms.normalize(),
+        lambda: ms.apply_weights(left=2.0),
+    ):
+        with pytest.raises(RuntimeError, match='chunk-backed'):
+            call()
+
+
+def test_streamed_extend_rejected(disk_fields):
+    m = MCA.from_chunks(
+        _loader(disk_fields['left'][0], 128), None,
+        n_observations=N_OBS, left_shape=(N_LAT, N_LON),
+    )
+    with pytest.raises(ValueError, match='extend'):
+        m.solve(complexify=True, extend='theta')
+
+
+def test_streamed_xmca_wraps_labeled_results(disk_fields):
+    coords = {
+        'time': np.arange(N_OBS),
+        'lat': np.linspace(-50, 50, N_LAT),
+        'lon': np.linspace(0, 340, N_LON),
+    }
+    m = xMCA.from_chunks(
+        _loader(disk_fields['left'][0], 128),
+        _loader(disk_fields['right'][0], 128),
+        coords=coords,
+    )
+    m.set_solver(truncate=K)
+    m.solve()
+    eofs = m.eofs(3)
+    assert eofs['left'].dims == ('lat', 'lon', 'mode')
+    assert list(np.asarray(eofs['left'].coords['mode'].values)) == [1, 2, 3]
+    pcs = m.pcs(3)
+    assert pcs['left'].values.shape == (N_OBS, 3)
+    sv = m.singular_values()
+    assert np.isfinite(np.asarray(sv.values)).all()

@@ -27,7 +27,7 @@ def raw_xy():
 
 def test_streamed_gram_is_exactly_centered(raw_xy):
     Xl, _ = raw_xy
-    G, p = streamed_gram(
+    G, p, mean, std = streamed_gram(
         chunks_from_array(Xl, 64), Xl.shape[0], jnp.float64
     )
     assert p == Xl.shape[1]
@@ -35,6 +35,8 @@ def test_streamed_gram_is_exactly_centered(raw_xy):
     Xc = Xl - Xl.mean(0)
     ref = Xc @ Xc.T
     assert_allclose(G, ref, atol=1e-10 * abs(ref).max())
+    assert_allclose(mean, Xl.mean(0), atol=1e-12)
+    assert_allclose(std, Xl.std(0), atol=1e-12)
 
 
 @pytest.mark.parametrize('chunk', [64, 129, 700])
@@ -42,11 +44,12 @@ def test_streamed_matches_in_memory_real(raw_xy, chunk):
     Xl, Xr = raw_xy
     k = 6
     key = jax.random.PRNGKey(2)
-    s, Vl, Vr, total = streamed_mca(
+    res = streamed_mca(
         lambda: chunks_from_array(Xl, chunk),
         lambda: chunks_from_array(Xr, chunk),
         Xl.shape[0], k, key=key, dtype=jnp.float64,
     )
+    s, Vl, Vr = res.svals, res.V_left, res.V_right
     s_ref, Vl_ref, Vr_ref = fast_solve_truncated(
         jnp.asarray(Xl - Xl.mean(0)), jnp.asarray(Xr - Xr.mean(0)),
         key, n_modes=k, n_iter=12,
@@ -56,7 +59,13 @@ def test_streamed_matches_in_memory_real(raw_xy, chunk):
                     np.asarray(Vl_ref), atol=1e-9)
     assert_allclose(align_modes(Vr, np.asarray(Vr_ref)),
                     np.asarray(Vr_ref), atol=1e-9)
-    assert total > 0
+    assert res.total_covariance > 0
+    assert res.total_squared_covariance > 0
+    # streamed PC accumulator == Xc @ V computed directly
+    assert_allclose(np.asarray(res.scores_left),
+                    (Xl - Xl.mean(0)) @ Vl, atol=1e-9)
+    assert_allclose(np.asarray(res.scores_right),
+                    (Xr - Xr.mean(0)) @ Vr, atol=1e-9)
 
 
 def test_streamed_matches_in_memory_complex(raw_xy):
@@ -65,11 +74,12 @@ def test_streamed_matches_in_memory_complex(raw_xy):
     n = Xl.shape[0]
     k = 6
     key = jax.random.PRNGKey(3)
-    s, Vl, Vr, total = streamed_mca(
+    res = streamed_mca(
         lambda: chunks_from_array(Xl, 96),
         lambda: chunks_from_array(Xr, 96),
         n, k, complexify=True, key=key, dtype=jnp.float64,
     )
+    s, Vl, Vr = res.svals, res.V_left, res.V_right
     H = jnp.asarray(hilbert_imag_matrix(n, np.float64))
     Xlc = jnp.asarray(Xl - Xl.mean(0))
     Xrc = jnp.asarray(Xr - Xr.mean(0))
@@ -83,13 +93,19 @@ def test_streamed_matches_in_memory_complex(raw_xy):
         + 1j * np.asarray(Xlc.T @ jnp.imag(S))
     assert_allclose(align_modes(Vl, Vl_ref), Vl_ref, atol=1e-8)
     assert np.iscomplexobj(Vl) and np.iscomplexobj(Vr)
+    # streamed analytic PC accumulator == Xz @ V computed directly
+    Hn = np.asarray(H)
+    Xz = (Xl - Xl.mean(0)) + 1j * (Hn @ (Xl - Xl.mean(0)))
+    S_l = np.asarray(jnp.real(res.scores_left)) \
+        + 1j * np.asarray(jnp.imag(res.scores_left))
+    assert_allclose(S_l, Xz @ Vl, atol=1e-8)
 
 
 def test_streamed_pca(raw_xy):
     Xl, _ = raw_xy
-    s, Vl, Vr, total = streamed_mca(
+    res = streamed_mca(
         lambda: chunks_from_array(Xl, 128), None,
         Xl.shape[0], 4, dtype=jnp.float64,
     )
-    assert Vl is Vr
-    assert s.shape == (4,) and np.isfinite(s).all()
+    assert res.V_left is res.V_right
+    assert res.svals.shape == (4,) and np.isfinite(res.svals).all()
