@@ -104,3 +104,46 @@ def test_theta_extension_induced_mode_error(centered):
     assert rel_s[0] < 1e-4
     assert np.abs(Vl_a[:, 0] - Vl_o[:, 0]).max() < 1e-4
     assert np.abs(Vr_a[:, 0] - Vr_o[:, 0]).max() < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Differential against the reference's ACTUAL dependency.  statsmodels is
+# absent from the TPU image; these run in the full-deps CI leg
+# (.github/workflows/test.yml, job test-full-deps) and skip elsewhere.
+# ---------------------------------------------------------------------------
+
+def _statsmodels_forecast_field(f, steps, period=PERIOD):
+    """Per-column ThetaModel forecasts exactly as the reference invokes
+    them (/root/reference/xmca/array.py:367-376)."""
+    sm_theta = pytest.importorskip('statsmodels.tsa.forecasting.theta')
+    import pandas as pd
+    cols = []
+    for j in range(f.shape[1]):
+        fit = sm_theta.ThetaModel(
+            pd.Series(f[:, j]), period=period,
+            deseasonalize=True, use_test=False,
+        ).fit()
+        cols.append(np.asarray(fit.forecast(steps=steps, theta=20)))
+    return np.stack(cols, axis=1)
+
+
+def test_theta_forecast_matches_statsmodels(centered):
+    f = centered['left'][:, ::16]          # keep the per-column loop modest
+    n = f.shape[0]
+    ours = np.asarray(theta_forecast(f, steps=n, period=PERIOD, theta=20.0))
+    ref = _statsmodels_forecast_field(f, n)
+    dev = np.max(np.abs(ours - ref), axis=0) / f.std(axis=0)
+    assert dev.max() < 3e-3
+    assert np.median(dev) < 2e-4
+
+
+def test_oracle_matches_statsmodels(centered):
+    """Validates the bundled oracle itself against statsmodels — the
+    chain oracle==statsmodels plus the oracle-based bounds above pins
+    the batched theta to the reference's dependency."""
+    f = centered['left'][:, ::64]
+    n = f.shape[0]
+    ref = _statsmodels_forecast_field(f, n)
+    oracle = _oracle_forecast_field(f, n)
+    dev = np.max(np.abs(oracle - ref), axis=0) / f.std(axis=0)
+    assert dev.max() < 1e-3
