@@ -12,9 +12,14 @@ exact code path a user gets:
 
     m = xMCA(left, right)          # 2000-step x 100k-cell DataArrays
     m.set_solver(truncate=10)      # large-field truncated solve
+    m.normalize()                  # unit-variance series (on device)
+    m.apply_coslat()               # sqrt(cos(lat)) area weights (device)
     m.solve(complexify=True)       # Hilbert complexification on device
     m.rotate(10)                   # varimax via lax.while_loop
     m.rule_n(125)                  # 1/8 of the 1000-surrogate ensemble
+
+following the reference tutorial's preprocessing order
+(/root/reference/tutorial/quickstart.py): normalize -> coslat -> solve.
 
 ``rule_n`` picks its TPU defaults by itself (fast analytic-Gram spectrum,
 bfloat16 draws, batch=1 pipelined dispatches) — nothing here reaches into
@@ -89,6 +94,8 @@ def main():
 
     def workload(m, n_runs):
         m.set_solver(truncate=n_rot)
+        m.normalize()
+        m.apply_coslat()
         m.solve(complexify=True)
         m.rotate(n_rot)
         return m.rule_n(n_runs, seed=7, disable_progress=True)

@@ -217,6 +217,30 @@ def bench_hilbert_long():
           {'n_obs': n_obs, 'n_space': p})
 
 
+def bench_promax_ensemble():
+    """Config 7: promax (power=4) ROTATED Rule-N ensemble.
+
+    The pinv/regression tail of power>1 rotations runs inside every
+    vmapped surrogate here (the reference supports power>1 rotated
+    ensembles, xmca/array.py:1935-1943) — the perf evidence for the
+    oblique-rotation path at ensemble scale.
+    """
+    jax, on_tpu = _setup()
+    from xmca_tpu.array import MCA
+    n_runs = 100 if on_tpu else 16
+    Xl, Xr = _fields(jax, 492, 684, 684)
+    m = MCA(Xl, Xr)
+    m.solve()
+    m.rotate(10, power=4)
+    # warm at the FULL ensemble size (gather/rescale tail compiles
+    # per run count)
+    m.rule_n(n_runs, seed=0, disable_progress=True)
+    t0 = time.perf_counter()
+    rn = m.rule_n(n_runs, seed=1, disable_progress=True)
+    _emit('rulen_promax4_rotated_runs_s', time.perf_counter() - t0,
+          {'runs': int(rn.shape[1]), 'power': 4})
+
+
 ALL = {
     'airtemp': bench_airtemp,
     'rotation': bench_rotation,
@@ -224,6 +248,7 @@ ALL = {
     'cplx_rot_large': bench_cplx_rot_large,
     'significance': bench_significance,
     'hilbert_long': bench_hilbert_long,
+    'promax_ensemble': bench_promax_ensemble,
 }
 
 if __name__ == '__main__':
