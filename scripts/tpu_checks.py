@@ -20,10 +20,20 @@ import numpy as np
 
 
 def main():
+    import os
     import jax
     import jax.numpy as jnp
 
     sys.path.insert(0, __file__.rsplit('/', 2)[0])
+    # persistent compile cache (remote TPU compiles are ~20-60 s each
+    # and serialize; repeat check runs should not pay them again)
+    cache = os.path.join(__file__.rsplit('/', 2)[0], '.jax_cache')
+    try:
+        jax.config.update('jax_compilation_cache_dir', cache)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          1.0)
+    except Exception:
+        pass
     failures = []
 
     def check(name, ok, detail=''):
