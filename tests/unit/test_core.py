@@ -245,3 +245,32 @@ def test_kernel_svd_polar_both_orientations():
             )
             s_only = _kernel_svd_polar(jnp.asarray(K), compute_uv=False)
             assert_allclose(np.asarray(s_only), s_ref, atol=1e-10)
+
+
+def test_ns_polar_survives_large_mode_spread_f32():
+    """Loading stacks with a ~20x column-scale spread (360x variance)
+    drove the fixed-count Newton-Schulz polar contractive on the
+    trailing subspace, collapsing those columns of R to exact zero at
+    north-star scale in f32.  The convergence-gated NS (what the public
+    TPU rotate and the bootstrap ensembles use) must keep R unitary and
+    every rotated column alive.  (With polar_method='ns' this input
+    demonstrably collapses — which is exactly why noise-only ensembles
+    are the sole remaining 'ns' users.)"""
+    import numpy as np
+    import jax.numpy as jnp
+    from xmca_tpu.core.rotation import varimax
+
+    rng = np.random.default_rng(0)
+    p, k = 4000, 10
+    Q, _ = np.linalg.qr(rng.standard_normal((p, k)))
+    scales = np.array([126.0] * 8 + [6.6] * 2)
+    L = (Q * scales).astype(np.float32)
+
+    B, R, converged, n_iter = varimax(
+        jnp.asarray(L), polar_method='ns-gated'
+    )
+    R = np.asarray(R)
+    orth = np.abs(R.conj().T @ R - np.eye(k)).max()
+    assert orth < 1e-3
+    col_norms = np.linalg.norm(np.asarray(B), axis=0)
+    assert col_norms.min() > 1.0      # trailing modes survive rotation

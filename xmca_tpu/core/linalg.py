@@ -165,10 +165,51 @@ def unitary_polar_factor(A, method='svd'):
         W, P = jax.scipy.linalg.polar(A, side='right')
         return W, jnp.trace(P).real
     if method == 'ns':
+        # Fixed-count Newton-Schulz: 30 fused matmul steps.  Valid ONLY
+        # for well-conditioned inputs (sigma_min/||A||_F well above
+        # ~1e-4) — e.g. the varimax criteria of NOISE-surrogate loading
+        # stacks, whose singular values are tightly clustered.  Real
+        # loading stacks with a large mode-variance spread need
+        # 'ns-gated': tiny singular values grow only 1.5x per step, so
+        # a short fixed count leaves the polar factor CONTRACTIVE on
+        # the trailing subspace and the varimax fixed point then
+        # collapses those columns of R geometrically to exact zero
+        # (observed at north-star scale in f32; regression test in
+        # tests/unit/test_core.py).
         fro = jnp.linalg.norm(A)
         W = A / jnp.where(fro == 0, 1.0, fro)
         for _ in range(30):
             W = 1.5 * W - 0.5 * (W @ (W.conj().T @ W))
+        d = jnp.real(jnp.trace(W.conj().T @ A))
+        return W, d
+    if method == 'ns-gated':
+        # Convergence-gated Newton-Schulz: iterate on the orthogonality
+        # defect, bounded at 80 steps (enough for sigma_min down to
+        # ~1e-7, the f32 representability floor).  The dynamic loop
+        # lowers less efficiently than the unrolled body inside batched
+        # varimax pipelines — use 'ns' for ensembles of well-conditioned
+        # stacks and this for real-data rotations.
+        fro = jnp.linalg.norm(A)
+        W0 = A / jnp.where(fro == 0, 1.0, fro)
+        k = A.shape[-1]
+        eye = jnp.eye(k, dtype=A.dtype)
+        defect_tol = 10.0 * k * jnp.finfo(A.dtype).eps
+
+        def ns_body(state):
+            i, W, _ = state
+            H = W.conj().T @ W
+            defect = jnp.linalg.norm(H - eye)
+            W = 1.5 * W - 0.5 * (W @ H)
+            return i + 1, W, defect
+
+        def ns_cond(state):
+            i, _, defect = state
+            return jnp.logical_and(i < 80, defect > defect_tol)
+
+        start = jnp.asarray(jnp.inf, jnp.finfo(A.dtype).dtype)
+        _, W, _ = jax.lax.while_loop(
+            ns_cond, ns_body, (jnp.zeros((), jnp.int32), W0, start)
+        )
         d = jnp.real(jnp.trace(W.conj().T @ A))
         return W, d
     u, s, vh = jnp.linalg.svd(A)

@@ -29,9 +29,14 @@ from xmca_tpu.core.linalg import unitary_polar_factor
 def _auto_polar_method():
     """'svd' is exact and fast on CPU; on TPU a small dense SVD inside a
     ``while_loop`` dispatches an iterative QDWH solve per rotation step
-    (pathologically slow) — the Newton-Schulz matmul polar is the right
-    primitive there."""
-    return 'svd' if jax.default_backend() == 'cpu' else 'ns'
+    (pathologically slow) — a Newton-Schulz matmul polar is the right
+    primitive there.  The default is the convergence-GATED variant:
+    real loading stacks can have a large mode-variance spread, where a
+    fixed-count NS under-converges and collapses trailing modes of the
+    rotation (tests/unit/test_core.py).  Noise-surrogate ensembles pass
+    the fixed-count 'ns' explicitly (their criteria are always
+    well-conditioned, and the unrolled body batches ~2x faster)."""
+    return 'svd' if jax.default_backend() == 'cpu' else 'ns-gated'
 
 
 @partial(jax.jit, static_argnames=('max_iter', 'polar_method'))

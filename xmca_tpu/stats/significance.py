@@ -163,7 +163,8 @@ def _ensemble_map(fn, keys, batch_size, mesh=None, axis='ensemble',
 
 def _surrogate_variance(fields, complexify, rotated, n_rot, power, tol,
                         method, spectrum='exact', n_modes_fast=None,
-                        subspace_iters=12, fast_key=None, hilbert_H=None):
+                        subspace_iters=12, fast_key=None, hilbert_H=None,
+                        polar_method='ns'):
     """Variance spectrum + total + converged-flag of one surrogate solve.
 
     ``spectrum='exact'`` runs the dense eigh-based pipeline;
@@ -191,6 +192,7 @@ def _surrogate_variance(fields, complexify, rotated, n_rot, power, tol,
             var, conv = _fast.fast_rotated_variance_analytic(
                 Xl, Xr, hilbert_H, fast_key, n_rot=n_rot, power=power,
                 tol=tol, n_iter=subspace_iters, bivariate=bivariate,
+                polar_method=polar_method,
             )
             return var, jnp.sum(var), conv
         svals, total = _fast.fast_spectrum_analytic(
@@ -207,7 +209,7 @@ def _surrogate_variance(fields, complexify, rotated, n_rot, power, tol,
             var, conv = _fast.fast_rotated_variance(
                 Xl, Xr if bivariate else None, fast_key, n_rot=n_rot,
                 power=power, tol=tol, n_iter=subspace_iters,
-                bivariate=bivariate,
+                bivariate=bivariate, polar_method=polar_method,
             )
         else:
             var, conv = solve_rotated_variance(
@@ -505,7 +507,7 @@ def bootstrap_spectra(fields, n_runs, n_out_modes, *, axis=0, on_left=True,
                  axis, on_left, on_right, block_size, replace,
                  complexify, extend, period, rotated, n_rot, power,
                  float(tol), method, spectrum, n_out_modes,
-                 subspace_iters)
+                 subspace_iters, 'ns-gated')
 
     def build():
         def one_run(key, fields_in):
@@ -515,6 +517,10 @@ def bootstrap_spectra(fields, n_runs, n_out_modes, *, axis=0, on_left=True,
                 spectrum=spectrum, n_modes_fast=n_out_modes,
                 subspace_iters=subspace_iters, fast_key=fast_key,
                 hilbert_H=hilbert_H,
+                # bootstrap rotates REAL data: a large mode-variance
+                # spread needs the convergence-gated polar (noise
+                # surrogates in rule_n keep the faster fixed count)
+                polar_method='ns-gated',
             )
             if complexify and extend:
                 fs = [f - jnp.mean(f, axis=0) for f in fs]
