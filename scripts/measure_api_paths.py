@@ -61,7 +61,11 @@ def main():
                         coords=coords, name='left')
     right = xr.DataArray(make_field(2), dims=('time', 'lat', 'lon'),
                          coords=coords, name='right')
-    new_left = make_field(3)[:16]
+    new_left = xr.DataArray(
+        make_field(3)[:16], dims=('time', 'lat', 'lon'),
+        coords={'time': t[:16], 'lat': coords['lat'],
+                'lon': coords['lon']},
+    )
 
     def stage(name, fn, warm=True):
         if warm:
@@ -93,6 +97,10 @@ def main():
     t0 = time.perf_counter()
     m.rotate(n_rot)
     print('%-38s %8.3f s' % ('rotate(10) [cold]',
+                             time.perf_counter() - t0), flush=True)
+    t0 = time.perf_counter()
+    m.rotate(n_rot)
+    print('%-38s %8.3f s' % ('rotate(10) [warm]',
                              time.perf_counter() - t0), flush=True)
 
     stage('eofs(10) rotated', lambda: m.eofs(n_rot))

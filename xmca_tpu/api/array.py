@@ -1311,7 +1311,10 @@ class MCA:
         Xrec = self._reconstructed_X(mode=mode, original_scale=original_scale)
         n_obs = self._n_observations['left']
         for k in list(Xrec.keys()):
-            rec = np.zeros((n_obs, self._n_variables[k])) * np.nan
+            # keep the data dtype: a default-f64 scatter buffer doubles
+            # host memory and host-side work at (2000, 100k) scale
+            rec = np.full((n_obs, self._n_variables[k]), np.nan,
+                          dtype=Xrec[k].dtype)
             rec[:, self._no_nan_index[k]] = Xrec[k]
             Xrec[k] = rec.reshape((-1,) + self._fields_spatial_shape[k])
         return Xrec
