@@ -716,6 +716,7 @@ class MCA:
         self._analysis['power'] = 0
         self._rotation_matrix = np.eye(len(singular_values))
         self._correlation_matrix = np.eye(len(singular_values))
+        self._R_dev_cache = None
         self._analysis['is_truncated_at'] = len(singular_values)
 
     def _solve_truncated(self, fields):
@@ -829,6 +830,7 @@ class MCA:
         self._analysis['power'] = 0
         self._rotation_matrix = np.eye(len(svals))
         self._correlation_matrix = np.eye(len(svals))
+        self._R_dev_cache = None
 
     # --------------------------------------------------------------- rotate
     def rotate(self, n_rot, power=1, tol=1e-8):
@@ -892,6 +894,7 @@ class MCA:
         RP = _to_np(jnp.stack([R, Phi]))
         self._rotation_matrix = RP[0]
         self._correlation_matrix = RP[1]
+        self._R_dev_cache = None
         self._analysis['is_rotated'] = True
         self._analysis['n_rot'] = n_rot
         self._analysis['power'] = power
@@ -906,6 +909,20 @@ class MCA:
         if inverse_transpose and self._analysis['power'] > 1:
             R = np.linalg.pinv(R).conjugate().T
         return R
+
+    def _rotation_dev(self, inverse_transpose=False):
+        """Device copy of the (possibly inverse-transposed) rotation
+        matrix, uploaded once per solve/rotate — every result kernel
+        consumes it, and each re-upload costs a tunnel round trip."""
+        cache = getattr(self, '_R_dev_cache', None)
+        if cache is None:
+            cache = self._R_dev_cache = {}
+        key = bool(inverse_transpose)
+        if key not in cache:
+            cache[key] = _to_dev(
+                self.rotation_matrix(inverse_transpose=key)
+            )
+        return cache[key]
 
     def correlation_matrix(self):
         """Return the PC correlation matrix (identity unless oblique)."""
@@ -1017,7 +1034,7 @@ class MCA:
         basis = self._basis_dev()
         col_w, _ = self._rotation_weights(pool)
         inv_norm = self._get_norm(pool, sorted=False)
-        R = _to_dev(self.rotation_matrix())
+        R = self._rotation_dev()
         return {
             k: _to_np(_loadings_kernel(
                 basis[k], col_w, R, 1.0 / inv_norm[k], self._var_idx,
@@ -1036,8 +1053,8 @@ class MCA:
         keep = self._get_slice(n)
         _, whiten = self._rotation_weights(pool)
         stream = getattr(self, '_stream_scores', None)
-        R_it = (_to_dev(self.rotation_matrix(inverse_transpose=True))
-                if rotated else None)
+        R_it = self._rotation_dev(inverse_transpose=True) if rotated \
+            else None
 
         def series(k):
             if stream is not None:
@@ -1240,7 +1257,7 @@ class MCA:
         keep = self._get_slice(n)
         basis = self._basis_dev()
         _, whiten = self._rotation_weights(pool)
-        R_it = _to_dev(self.rotation_matrix(inverse_transpose=True))
+        R_it = self._rotation_dev(inverse_transpose=True)
         if self._analysis['is_complex']:
             cos_p, sin_p = np.cos(phase_shift), np.sin(phase_shift)
         else:
@@ -1291,8 +1308,8 @@ class MCA:
         col_w, whiten = self._rotation_weights(pool)
         return _reconstruct_kernel(
             self._fields[key], basis[key],
-            whiten, _to_dev(self.rotation_matrix(inverse_transpose=True)),
-            col_w, _to_dev(self.rotation_matrix()),
+            whiten, self._rotation_dev(inverse_transpose=True),
+            col_w, self._rotation_dev(),
             1.0 / self._get_norm(pool, sorted=False)[key],
             self._get_norm(mode, sorted=True)[key],
             self._var_idx, pool=pool, keep=keep,
@@ -1377,7 +1394,7 @@ class MCA:
         basis = self._basis_dev()
         R_it = self.rotation_matrix(inverse_transpose=True)
         pool = R_it.shape[0]
-        R_dev = _to_dev(R_it)
+        R_dev = self._rotation_dev(inverse_transpose=True)
         _, whiten = self._rotation_weights(pool)
         count = pool if n is None else n
 
@@ -1736,6 +1753,7 @@ class MCA:
 
         self._V = {}
         self._norm = {}
+        self._R_dev_cache = None
         self._singular_values = singular_values
         self._variance = singular_values
         self._var_idx = np.argsort(singular_values)[::-1]
