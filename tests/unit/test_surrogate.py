@@ -122,3 +122,66 @@ def test_gen_surrogate_variance_matches_draw_statistics():
     g, d = np.median(gen[:, 0]), np.median(drawn[:, 0])
     spread = drawn[:, 0].std() + gen[:, 0].std()
     assert abs(g - d) < 2.0 * spread
+
+
+def test_int8_centered_gram_is_exact():
+    """The s8 raw Gram + rank-1 centering equals the dense centered
+    Gram of the same ±1 field, to f32 roundoff of the correction."""
+    from xmca_tpu.core.fastpath import _int8_centered_gram
+    from xmca_tpu.ops.surrogate import bits_field
+
+    n, p = 200, 333
+    X8 = bits_field(jnp.int32(5), (n, p), dist='rademacher8')
+    assert X8.dtype == jnp.int8
+    Xf = np.asarray(X8).astype(np.float64)
+    assert set(np.unique(Xf)) == {-1.0, 1.0}
+
+    Gc, mu, Xb = _int8_centered_gram(X8)
+    Xc = Xf - Xf.mean(0)
+    ref = Xc @ Xc.T
+    err = np.abs(np.asarray(Gc) - ref).max() / np.abs(ref).max()
+    assert err < 1e-5
+    np.testing.assert_allclose(np.asarray(mu), Xf.mean(0), atol=1e-6)
+    assert Xb.dtype == jnp.bfloat16
+
+
+def test_int8_surrogate_variance_matches_draw_statistics():
+    """int8-Gram Rule-N nulls agree in distribution with the drawn
+    Gaussian ensemble (two-moment universality)."""
+    from xmca_tpu.core.fastpath import (fast_surrogate_variance_int8,
+                                        hilbert_imag_matrix)
+    from xmca_tpu.stats import significance as sig
+
+    n, pl_, pr = 128, 96, 80
+    H = jnp.asarray(hilbert_imag_matrix(n, np.float32))
+    gen = []
+    for s in range(20):
+        var, total, conv = fast_surrogate_variance_int8(
+            jnp.int32(2000 + s), jax.random.PRNGKey(s), n, (pl_, pr),
+            H=H, complexify=True, rotated=True, n_rot=5, n_iter=10,
+        )
+        assert bool(conv)
+        assert np.isfinite(np.asarray(var)).all()
+        gen.append(np.asarray(var))
+    gen = np.stack(gen)
+
+    spectra, _ = sig.rule_n_spectra(
+        n, (pl_, pr), 20, complexify=True, rotated=True, n_rot=5,
+        dtype=np.float32, seed=7, spectrum='fast', subspace_iters=10,
+    )
+    drawn = np.asarray(spectra)
+    g, d = np.median(gen[:, 0]), np.median(drawn[:, 0])
+    spread = drawn[:, 0].std() + gen[:, 0].std()
+    assert abs(g - d) < 2.0 * spread
+
+
+def test_rulen_generated_rademacher8_end_to_end():
+    """The public generated pipeline accepts dist='rademacher8'."""
+    from xmca_tpu.stats import significance as sig
+    spectra, totals = sig.rule_n_spectra(
+        96, (64, 48), 6, complexify=True, rotated=True, n_rot=4,
+        dtype=np.float32, seed=3, spectrum='fast', subspace_iters=8,
+        surrogate_source='generated', surrogate_dist='rademacher8',
+    )
+    assert spectra.shape[1] == 4 and np.isfinite(spectra).all()
+    assert np.isfinite(totals).all() and (totals > 0).all()

@@ -376,14 +376,18 @@ class MCA:
             'rbg' generator (xmca_tpu.ops.surrogate.bits_field) — ~5x
             cheaper than a Gaussian draw, which dominates the
             per-surrogate cost at production shapes.
-        surrogate_gen_dist : {'normal16', 'normal32', 'rademacher'},
-            optional.  Draw distribution of generated surrogates.
-            'normal16' (default) and 'normal32' are popcount-binomials
-            matched to N(0, 1) in their first three moments (excess
-            kurtosis -1/8 and -1/16; the 16-bit variant halves the
-            generated random bits); 'rademacher' is +-1.  Null spectra are universal in the first two moments at
-            these dimensions; equivalence to Gaussian draws is measured
-            in tests/integration/test_significance.py.
+        surrogate_gen_dist : {'normal16', 'normal32', 'rademacher',
+            'rademacher8'}, optional.  Draw distribution of generated
+            surrogates.  'normal16' (default) and 'normal32' are
+            popcount-binomials matched to N(0, 1) in their first three
+            moments (excess kurtosis -1/8 and -1/16; the 16-bit variant
+            halves the generated random bits); 'rademacher' is +-1 in
+            bfloat16; 'rademacher8' stores +-1 as int8 so the
+            data-sized Gram runs the MXU's s8 x s8 -> s32 mode (2x
+            rate, integer-exact accumulation).  Null spectra are
+            universal in the first two moments at these dimensions;
+            equivalence to Gaussian draws is measured in
+            tests/integration/test_significance.py.
         """
         if method is not None:
             if method not in ('gram', 'svd'):
@@ -414,10 +418,10 @@ class MCA:
             self._surrogate_source = surrogate_source
         if surrogate_gen_dist is not None:
             if surrogate_gen_dist not in ('normal16', 'normal32',
-                                          'rademacher'):
+                                          'rademacher', 'rademacher8'):
                 raise ValueError(
                     "surrogate_gen_dist must be 'normal16', "
-                    "'normal32' or 'rademacher'"
+                    "'normal32', 'rademacher' or 'rademacher8'"
                 )
             self._surrogate_gen_dist = surrogate_gen_dist
 

@@ -628,6 +628,122 @@ def fast_surrogate_variance_gen(seed, key, n_obs, n_vars, H=None,
     return variance, jnp.sum(variance), converged
 
 
+def _int8_centered_gram(X):
+    """Exactly-centered temporal Gram of a ±1 int8 field.
+
+    The raw Gram runs as one s8 x s8 -> s32 MXU contraction (2x the
+    bfloat16 rate, integer-exact accumulation — the data contraction
+    has ZERO rounding error), and centering is recovered by the rank-1
+    identity ``Gc = G - w 1^T - 1 w^T + mu.mu`` like the streaming
+    solver's.  Returns (Gc f32, mu f32, X as bfloat16 for the
+    downstream back-projection).
+    """
+    n = X.shape[0]
+    G = jax.lax.dot_general(
+        X, X, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    colsum = jax.lax.dot_general(
+        jnp.ones((1, n), jnp.int8), X, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )[0].astype(jnp.float32)
+    mu = colsum / n
+    Xb = X.astype(jnp.bfloat16)
+    w = jax.lax.dot_general(
+        Xb, mu[:, None], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[:, 0]
+    Gc = G - w[:, None] - w[None, :] + jnp.sum(mu * mu)
+    return Gc, mu, Xb
+
+
+@partial(jax.jit,
+         static_argnames=('n_obs', 'n_vars', 'complexify', 'rotated',
+                          'n_rot', 'power', 'n_iter', 'polar_method'))
+def fast_surrogate_variance_int8(seed, key, n_obs, n_vars, H=None,
+                                 complexify=False, rotated=False,
+                                 n_rot=10, power=1, tol=1e-8, n_iter=8,
+                                 jitter_rel=1e-6, polar_method='ns'):
+    """One Rule-N surrogate solve from ±1 int8 draws.
+
+    The ``surrogate_gen_dist='rademacher8'`` pipeline: draws cost one
+    random byte per element, the data-sized Gram runs in the MXU's
+    int8 mode via :func:`_int8_centered_gram`, and everything
+    downstream (analytic fold, Cholesky reduction, subspace SVD,
+    rotation) is the standard f32 n x n algebra.  Null-spectrum
+    equivalence to Gaussian draws rests on the same two-moment
+    universality as 'rademacher' (tests/unit/test_surrogate.py,
+    tests/integration/test_significance.py); same contract as
+    :func:`fast_surrogate_variance_gen`.
+    """
+    from xmca_tpu.core.rotation import promax
+    from xmca_tpu.ops.surrogate import bits_field
+
+    seed = jnp.asarray(seed).astype(jnp.int32)
+    bivariate = len(n_vars) == 2
+    f_eps = float(np.finfo(np.float32).eps)
+
+    def field_gram(fseed, p):
+        X = bits_field(fseed, (n_obs, p), dist='rademacher8')
+        Gc, mu, Xb = _int8_centered_gram(X)
+        Gz = _analytic_fold(Gc, H).astype(jnp.complex64) if complexify \
+            else Gc
+        return _jitter(Gz, p, jitter_rel, input_eps=f_eps), mu, Xb
+
+    seeds = [seed * 2, seed * 2 + 1]
+    Gl, mu_l, Xb_l = field_gram(seeds[0], n_vars[0])
+    if bivariate:
+        Gr, mu_r, Xb_r = field_gram(seeds[1], n_vars[1])
+    else:
+        Gr, mu_r, Xb_r = Gl, mu_l, Xb_l
+
+    dof = n_obs - 1
+    La = jnp.linalg.cholesky(Gl)
+    Lb = La if not bivariate else jnp.linalg.cholesky(Gr)
+    M = _dot_hi(La.conj().T, Lb) / dof
+
+    if not rotated:
+        _, s, _ = subspace_svd(M, key, k=n_rot, n_iter=n_iter)
+        total = nuclear_norm(M)
+        return s, total, jnp.isfinite(s).all()
+
+    U, s, V = subspace_svd(M, key, k=n_rot, n_iter=n_iter)
+
+    def spatial(Xb, mu, L_chol, T_side):
+        T = jax.scipy.linalg.solve_triangular(
+            L_chol.conj().T, T_side, lower=False
+        )
+        if complexify:
+            S_stack = analytic_projection_stack(T, H).astype(jnp.float32)
+            P = _data_dot(Xb.T, S_stack)
+            P = P - mu[:, None] * jnp.sum(S_stack, axis=0)[None, :]
+            return combine_analytic_projection(P)
+        S_stack = jnp.real(T).astype(jnp.float32)
+        P = _data_dot(Xb.T, S_stack)
+        return P - mu[:, None] * jnp.sum(S_stack, axis=0)[None, :]
+
+    Vl = spatial(Xb_l, mu_l, La, U)
+    sqrt_s = jnp.sqrt(s).astype(Vl.dtype)
+    if bivariate:
+        Vr = spatial(Xb_r, mu_r, Lb, V)
+        L = jnp.concatenate([Vl, Vr], axis=0) * sqrt_s[None, :]
+    else:
+        L = Vl * sqrt_s[None, :]
+    n_vars_left = Vl.shape[0]
+    L_rot, _, _, converged, _ = promax(
+        L, power=power, tol=tol, polar_method=polar_method
+    )
+    norm_left = jnp.linalg.norm(L_rot[:n_vars_left, :], axis=0)
+    if bivariate:
+        norm_right = jnp.linalg.norm(L_rot[n_vars_left:, :], axis=0)
+        variance = norm_left * norm_right
+    else:
+        variance = norm_left ** 2
+    variance = jnp.sort(variance)[::-1]
+    converged = jnp.logical_and(converged, jnp.isfinite(variance).all())
+    return variance, jnp.sum(variance), converged
+
+
 @partial(jax.jit, static_argnames=('n_modes', 'n_iter'))
 def fast_solve_truncated_totals(Xl, Xr, key, n_modes, n_iter=8,
                                 jitter_rel=1e-6):

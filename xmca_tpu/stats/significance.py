@@ -359,6 +359,16 @@ def _rule_n_generated(n_obs, n_vars, n_runs, *, complexify, rotated,
         def one_run(seed_row):
             s = seed_row[0]
             k = jax.random.PRNGKey(s.astype(jnp.uint32))
+            if dist == 'rademacher8':
+                # int8 storage: the data-sized Gram runs the MXU's
+                # s8 x s8 -> s32 mode (exact integer accumulation)
+                from xmca_tpu.core import fastpath as _fast
+                return _fast.fast_surrogate_variance_int8(
+                    s, k, n_obs, n_vars, H=hilbert_H,
+                    complexify=complexify, rotated=rotated,
+                    n_rot=n_rot if rotated else n_modes_fast,
+                    power=power, tol=tol, n_iter=subspace_iters,
+                )
             fields = [
                 bits_field(s * 2 + i, (n_obs, p), dist=dist)
                 for i, p in enumerate(n_vars)
