@@ -123,7 +123,7 @@ def test_streamed_predict_matches_in_memory(disk_fields):
                     mm.predict(left=new, n=4)['left'], atol=1e-8)
 
 
-def test_streamed_guards_full_matrix_methods(disk_fields):
+def test_streamed_guards_full_matrix_methods(disk_fields, tmp_path):
     ms = _streamed(disk_fields)
     for call in (
         lambda: ms.fields(),
@@ -135,6 +135,11 @@ def test_streamed_guards_full_matrix_methods(disk_fields):
     ):
         with pytest.raises(RuntimeError, match='chunk-backed'):
             call()
+    # save_analysis stores the fields themselves (reference format) —
+    # it must hit the same guard, not write a partial analysis
+    mx = _streamed_xmca(disk_fields)
+    with pytest.raises(RuntimeError, match='chunk-backed'):
+        mx.save_analysis(path=str(tmp_path / 'a'))
 
 
 def test_streamed_extend_rejected(disk_fields):
@@ -146,7 +151,7 @@ def test_streamed_extend_rejected(disk_fields):
         m.solve(complexify=True, extend='theta')
 
 
-def test_streamed_xmca_wraps_labeled_results(disk_fields):
+def _streamed_xmca(disk_fields):
     coords = {
         'time': np.arange(N_OBS),
         'lat': np.linspace(-50, 50, N_LAT),
@@ -159,6 +164,11 @@ def test_streamed_xmca_wraps_labeled_results(disk_fields):
     )
     m.set_solver(truncate=K)
     m.solve()
+    return m
+
+
+def test_streamed_xmca_wraps_labeled_results(disk_fields):
+    m = _streamed_xmca(disk_fields)
     eofs = m.eofs(3)
     assert eofs['left'].dims == ('lat', 'lon', 'mode')
     assert list(np.asarray(eofs['left'].coords['mode'].values)) == [1, 2, 3]

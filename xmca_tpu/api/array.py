@@ -457,10 +457,11 @@ class MCA:
         ``solve`` runs the streamed pipeline (``set_solver(truncate=k)``
         selects the mode count, default 20; plain or Hilbert-complex).
         Everything derived from the decomposition — eofs, pcs, rotate,
-        rule_n, predict, save — works; methods that need the full data
-        matrix resident (``fields``, correlation patterns,
-        reconstruction, bootstrapping, normalize/apply_weights) raise.
-        Pre-scale inside the loaders instead of ``normalize``.
+        rule_n, predict — works; methods that need the full data matrix
+        resident (``fields``, correlation patterns, reconstruction,
+        bootstrapping, normalize/apply_weights, and ``save_analysis`` —
+        the reference's on-disk format stores the fields themselves)
+        raise.  Pre-scale inside the loaders instead of ``normalize``.
         """
         model = cls()
         model._keys = ['left'] if right is None else ['left', 'right']

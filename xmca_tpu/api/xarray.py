@@ -548,6 +548,9 @@ class xMCA(MCA):
         singular values, per-field unrotated EOFs, per-field original-scale
         (real-part) input fields.
         """
+        # chunk-backed models cannot save: the on-disk format stores
+        # the fields themselves; fail before writing anything partial
+        self._require_resident_fields('save_analysis')
         analysis_path = self._get_analysis_path(path)
         self._create_analysis_path(analysis_path)
         self._create_info_file(analysis_path)
