@@ -148,6 +148,27 @@ def main():
     check('re-solve after complex solve',
           np.isfinite(np.asarray(m.singular_values(3))).all())
 
+    # ---- 7. out-of-core streamed COMPLEX solve: the analytic fold,
+    # Cholesky reduction and score fold all run on complex device
+    # arrays inside the streaming pipeline's jitted helpers
+    data = rng.standard_normal((256, 2000)).astype(np.float32)
+
+    def chunks():
+        for s in range(0, 2000, 512):
+            yield data[:, s:s + 512]
+
+    ms = MCA.from_chunks(chunks, None, n_observations=256,
+                         left_shape=(2000,))
+    ms.set_solver(truncate=4)
+    ms.solve(complexify=True)
+    ms.rotate(4)
+    eofs = ms.eofs(4)['left']
+    pcs = ms.pcs(4)['left']
+    check('streamed complex out-of-core solve on-chip',
+          np.isfinite(np.abs(eofs)).all()
+          and np.isfinite(np.abs(pcs)).all()
+          and np.isfinite(np.asarray(ms.singular_values(4))).all())
+
     return 1 if failures else 0
 
 

@@ -140,6 +140,10 @@ def test_streamed_guards_full_matrix_methods(disk_fields, tmp_path):
     mx = _streamed_xmca(disk_fields)
     with pytest.raises(RuntimeError, match='chunk-backed'):
         mx.save_analysis(path=str(tmp_path / 'a'))
+    # the xMCA weighting override must hit the same guard (not a
+    # misleading KeyError about the field name)
+    with pytest.raises(RuntimeError, match='chunk-backed'):
+        mx.apply_coslat()
 
 
 def test_streamed_extend_rejected(disk_fields):

@@ -109,3 +109,48 @@ def test_streamed_pca(raw_xy):
     )
     assert res.V_left is res.V_right
     assert res.svals.shape == (4,) and np.isfinite(res.svals).all()
+
+
+def test_streamed_univariate_complex(raw_xy):
+    """Univariate analytic streamed solve (was untested; the public
+    fixture flow goes through exactly this)."""
+    Xl, _ = raw_xy
+    n, k = Xl.shape[0], 4
+    key = jax.random.PRNGKey(9)
+    res = streamed_mca(
+        lambda: chunks_from_array(Xl, 160), None,
+        n, k, complexify=True, key=key, dtype=jnp.float64,
+    )
+    H = jnp.asarray(hilbert_imag_matrix(n, np.float64))
+    Xc = jnp.asarray(Xl - Xl.mean(0))
+    M, La, _ = analytic_reduced_kernel(Xc, Xc, H)
+    _, s_ref, _ = subspace_svd(M, key, k=k, n_iter=12)
+    assert_allclose(res.svals, np.asarray(s_ref), rtol=1e-9)
+    assert np.iscomplexobj(res.V_left)
+    assert np.isfinite(np.abs(res.V_left)).all()
+
+
+def test_streamed_large_mean_float32_stable():
+    """Kelvin-scale means (~300) with unit variance in float32: the
+    raw-Gram + rank-1 centering cancelled catastrophically (NaN
+    Cholesky); per-chunk centering must stay stable.  Found by running
+    the public solver on the reference's sst fixture."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((128, 5))
+    X = (base @ rng.standard_normal((5, 600))
+         + 0.3 * rng.standard_normal((128, 600)) + 300.0)
+    k = 4
+    key = jax.random.PRNGKey(4)
+    res = streamed_mca(
+        lambda: chunks_from_array(X.astype(np.float32), 144), None,
+        X.shape[0], k, complexify=True, key=key, dtype=jnp.float32,
+    )
+    assert np.isfinite(res.svals).all()
+    assert np.isfinite(np.abs(res.V_left)).all()
+    # f64 ground truth from the in-memory analytic kernel
+    H = jnp.asarray(hilbert_imag_matrix(X.shape[0], np.float64))
+    Xc = jnp.asarray(X - X.mean(0))
+    M, _, _ = analytic_reduced_kernel(Xc, Xc, H)
+    _, s_ref, _ = subspace_svd(M, jax.random.PRNGKey(4), k=k, n_iter=12)
+    assert_allclose(res.svals, np.asarray(s_ref), rtol=2e-3)
+    assert_allclose(res.means['left'], X.mean(0), rtol=1e-5)

@@ -120,12 +120,15 @@ def _reconstruct_kernel(X, V, whiten, R_it, col_w, R, inv_norm,
                         norm_keep, order, *, pool, keep):
     """Mode-subset reconstruction real(U_eigen V_rotᴴ), fully fused:
     rotated scores and rotated loadings are both built from the basis
-    in-program and contracted without ever leaving the device."""
+    in-program and contracted without ever leaving the device.
+    ``keep`` is a (start, stop, step) tuple — slice objects are only
+    hashable (jit-static) from Python 3.12."""
+    sel = slice(*keep)
     S = jnp.matmul(jnp.matmul(X, V[:, :pool], precision=_HI) * whiten,
                    R_it, precision=_HI)
-    S = jnp.take(S, order, axis=1)[:, keep] * norm_keep
+    S = jnp.take(S, order, axis=1)[:, sel] * norm_keep
     W = jnp.matmul(V[:, :pool] * col_w, R, precision=_HI) * inv_norm
-    W = jnp.take(W, order, axis=1)[:, keep]
+    W = jnp.take(W, order, axis=1)[:, sel]
     return jnp.real(jnp.matmul(S, W.conj().T, precision=_HI))
 
 
@@ -137,7 +140,7 @@ def _pattern_kernel(X, Xs, V, whiten, R_it, order, cos_p, sin_p, *,
     correlation contraction in one device program."""
     S = jnp.matmul(Xs, V[:, :pool], precision=_HI) * whiten
     S = jnp.take(jnp.matmul(S, R_it, precision=_HI), order,
-                 axis=1)[:, keep]
+                 axis=1)[:, slice(*keep)]
     S = jnp.real(S) * cos_p - jnp.imag(S) * sin_p
     Xr = jnp.real(X)
     Xc = Xr - jnp.mean(Xr, axis=0)
@@ -1272,7 +1275,7 @@ class MCA:
             rmap = _to_np(_pattern_kernel(
                 self._fields[key], self._fields[source], basis[source],
                 whiten, R_it, self._var_idx, cos_p, sin_p,
-                pool=pool, keep=keep,
+                pool=pool, keep=(keep.start, keep.stop, keep.step),
             ))
             r[key] = rmap
             p[key] = self._corr_pvalues(rmap, self._n_observations[key])
@@ -1317,7 +1320,8 @@ class MCA:
             col_w, self._rotation_dev(),
             1.0 / self._get_norm(pool, sorted=False)[key],
             self._get_norm(mode, sorted=True)[key],
-            self._var_idx, pool=pool, keep=keep,
+            self._var_idx, pool=pool,
+            keep=(keep.start, keep.stop, keep.step),
         )
 
     def _reconstructed_X(self, mode=None, original_scale=True):

@@ -204,6 +204,7 @@ class xMCA(MCA):
         host (at north-star scale that transfer alone costs ~70 s over
         a tunneled TPU link; the device multiply is microseconds).
         """
+        self._require_resident_fields('apply_weights')
         for k, weight in weights.items():
             if k not in self._fields:
                 raise KeyError(

@@ -6,16 +6,17 @@ unsolvable there.  On TPU the solve only ever *contracts* over the space
 axis (temporal Gram ``X X^T``, spatial back-projection ``X^T Z``), so
 the data can stream through the chip in space chunks:
 
-* **pass 1** — accumulate the temporal Gram, the column-mean projection
-  ``w = X @ mu`` and ``sum(mu^2)`` chunk by chunk; centering is
-  recovered EXACTLY by the rank-1 identity
-  ``Gc = G - w 1^T - 1 w^T + (mu.mu)`` (no centered copy ever exists).
+* **pass 1** — center each chunk on device and accumulate the temporal
+  Gram.  Chunks split the COLUMN axis, so every column's full series is
+  chunk-local and per-chunk centering is exact full centering (and,
+  unlike a raw-Gram + rank-1-correction scheme, numerically stable for
+  large-mean geophysical data in float32).
 * **reduce** — the n x n Cholesky-reduced kernel, subspace SVD, and
   (optionally) the analytic-signal fold ``G_Z = (G + HGH^T) + i(HG -
   GH^T)`` all operate on n x n arrays: complex MCA streams exactly like
   real MCA, with no FFT of the data at all.
 * **pass 2** — spatial singular vectors stream back out per chunk:
-  ``V_chunk = Xc^T Z = X^T Z - mu (1^T Z)``.
+  ``V_chunk = Xc^T Z``, with the PC series accumulated along the way.
 
 Peak device memory is one chunk plus n x n state — fields of any width
 solve on a single chip; the loaders may read from disk (memmap, zarr,
@@ -54,16 +55,28 @@ def chunks_from_array(X, chunk_size):
 
 
 @jax.jit
-def _accumulate(G, w, mumu, chunk):
-    """One pass-1 update: Gram + centering accumulators for a chunk,
-    plus the chunk's column means and mean squares (the model-state
-    statistics — predict/save need them and the chunk is already on
-    device)."""
+def _accumulate(G, chunk):
+    """One pass-1 update: center the chunk and accumulate its Gram,
+    plus the chunk's column means and variances (the model-state
+    statistics — predict needs them and the chunk is already on
+    device).
+
+    Chunks split the COLUMN axis, so every column's full time series is
+    chunk-local and per-chunk centering is EXACT full centering.  (An
+    earlier design accumulated the raw Gram and recovered centering by
+    the rank-1 identity ``Gc = G - w 1^T - 1 w^T + mu.mu`` — exact in
+    real arithmetic, but catastrophically cancellative in float32 for
+    large-mean geophysical data: Kelvin fields with mean ~300 and
+    variance ~1 put the raw Gram 1e5x above the centered one, and the
+    f32 roundoff of the big terms lands far above the jitter floor,
+    making the Cholesky fail.  Caught by driving the solver on the
+    reference's own sst fixture.)
+    """
     c = jnp.asarray(chunk)
-    G = G + jnp.matmul(c, c.T, precision=_HI)
     mu = jnp.mean(c, axis=0)
-    w = w + jnp.matmul(c, mu[:, None], precision=_HI)[:, 0]
-    return G, w, mumu + mu @ mu, mu, jnp.mean(c * c, axis=0)
+    cc = c - mu
+    G = G + jnp.matmul(cc, cc.T, precision=_HI)
+    return G, mu, jnp.mean(cc * cc, axis=0)
 
 
 def streamed_gram(chunks, n_obs, dtype=jnp.float32):
@@ -76,24 +89,28 @@ def streamed_gram(chunks, n_obs, dtype=jnp.float32):
     like ``eps * sqrt(p)``), and the host ``(p,)`` column means/stds.
     """
     G = jnp.zeros((n_obs, n_obs), dtype)
-    w = jnp.zeros((n_obs,), dtype)
-    mumu = jnp.zeros((), dtype)
     p = 0
-    means, msqs = [], []
+    means, vars_ = [], []
     for chunk in chunks:
         chunk = np.asarray(chunk, dtype)
         p += chunk.shape[1]
-        G, w, mumu, mu, msq = _accumulate(G, w, mumu, chunk)
-        means.append(np.asarray(mu))
-        msqs.append(np.asarray(msq))
-    mean = np.concatenate(means) if means else np.zeros(0, dtype)
-    msq = np.concatenate(msqs) if msqs else np.zeros(0, dtype)
-    std = np.sqrt(np.maximum(msq - mean ** 2, 0.0))
-    return G - w[:, None] - w[None, :] + mumu, p, mean, std
+        G, mu, var = _accumulate(G, chunk)
+        # keep the small per-chunk stats ON DEVICE during the loop: a
+        # blocking readback here would serialize the bandwidth-bound
+        # Gram pass (each tunnel round trip ~30 ms and the next chunk's
+        # upload cannot overlap); materialize once after the pipeline
+        # has drained
+        means.append(mu)
+        vars_.append(var)
+    mean = (np.concatenate([np.asarray(m) for m in means])
+            if means else np.zeros(0, dtype))
+    var = (np.concatenate([np.asarray(v) for v in vars_])
+           if vars_ else np.zeros(0, dtype))
+    return G, p, mean, np.sqrt(np.maximum(var, 0.0))
 
 
 @partial(jax.jit, static_argnames=('complexify',))
-def _project_chunk(chunk, Z, colsum_Z, A, complexify):
+def _project_chunk(chunk, Z, A, complexify):
     """One pass-2 update: centered spatial vectors for a chunk, plus
     the running PC-score accumulator.
 
@@ -105,14 +122,52 @@ def _project_chunk(chunk, Z, colsum_Z, A, complexify):
     needs the (streamed, possibly disk-resident) data again.
     """
     c = jnp.asarray(chunk)
-    mu = jnp.mean(c, axis=0)
-    P = jnp.matmul(c.T, Z, precision=_HI)
-    P = P - mu[:, None] * colsum_Z[None, :]
+    cc = c - jnp.mean(c, axis=0)      # exact: columns are chunk-local
+    P = jnp.matmul(cc.T, Z, precision=_HI)
     if complexify:
         P = _fast.combine_analytic_projection(P)
-    S = jnp.matmul(c, P, precision=_HI) \
-        - jnp.matmul(mu[None, :], P, precision=_HI)
-    return P, A + S
+    return P, A + jnp.matmul(cc, P, precision=_HI)
+
+
+@partial(jax.jit,
+         static_argnames=('p', 'jitter_rel', 'eps', 'complexify'))
+def _fold_jitter(G, H, p, jitter_rel, eps, *, complexify):
+    """Analytic fold + rank-jitter of a streamed Gram, under jit
+    (eager complex ops are unsafe on the axon backend).  The scalar
+    jitter parameters are static: ``_jitter`` derives its floor with
+    host arithmetic."""
+    if complexify:
+        G = _fast._analytic_fold(G, H).astype(
+            _fast._complex_dtype(G.dtype)
+        )
+    return _fast._jitter(G, p, jitter_rel, input_eps=eps)
+
+
+@partial(jax.jit, static_argnames=('n_modes', 'n_iter', 'bivariate'))
+def _reduce_streamed(Gl, Gr, key, dof, *, n_modes, n_iter, bivariate):
+    """Cholesky reduction + subspace SVD + exact totals, one program."""
+    La = jnp.linalg.cholesky(Gl)
+    Lb = La if not bivariate else jnp.linalg.cholesky(Gr)
+    M = jnp.matmul(La.conj().T, Lb, precision=_HI) / dof
+    U, s, V = _fast.subspace_svd(M, key, k=n_modes, n_iter=n_iter)
+    totals = jnp.stack([_fast.nuclear_norm(M),
+                        jnp.sum(jnp.abs(M) ** 2)])
+    return La, Lb, U, s, V, totals
+
+
+@partial(jax.jit, static_argnames=('complexify',))
+def _recovery_weights(L_chol, T_side, H, *, complexify):
+    """Real (n, k or 2k) recovery matrix, under jit."""
+    T = jax.scipy.linalg.solve_triangular(
+        L_chol.conj().T, T_side, lower=False
+    )
+    return (_fast.analytic_projection_stack(T, H) if complexify
+            else jnp.real(T))
+
+
+@partial(jax.jit, static_argnames=('shape', 'dtype'))
+def _zeros_dev(*, shape, dtype):
+    return jnp.zeros(shape, dtype)
 
 
 @jax.jit
@@ -163,48 +218,40 @@ def streamed_mca(chunks_left, chunks_right, n_obs, n_modes, *,
         G, p, means[side], stds[side] = streamed_gram(
             loader(), n_obs, dtype
         )
-        if complexify:
-            G = _fast._analytic_fold(G, H).astype(
-                _fast._complex_dtype(dtype)
-            )
-        # the jitter floor scales with the CONTRACTED width p, not n
-        return _fast._jitter(
-            G, p, jitter_rel,
-            input_eps=float(jnp.finfo(dtype).eps),
+        # fold + jitter run under jit (eager complex ops are unsafe on
+        # axon); the jitter floor scales with the CONTRACTED width p
+        return _fold_jitter(
+            G, H, p, jitter_rel, float(jnp.finfo(dtype).eps),
+            complexify=complexify,
         )
 
     Gl = field_gram(chunks_left, 'left')
     Gr = Gl if not bivariate else field_gram(chunks_right, 'right')
 
-    dof = n_obs - 1
-    La = jnp.linalg.cholesky(Gl)
-    Lb = La if not bivariate else jnp.linalg.cholesky(Gr)
-    M = jnp.matmul(La.conj().T, Lb, precision=_HI) / dof
-    U, s, V = _fast.subspace_svd(M, key, k=n_modes, n_iter=n_iter)
-    totals = jnp.stack([_fast.nuclear_norm(M),
-                        jnp.sum(jnp.abs(M) ** 2)])
+    La, Lb, U, s, V, totals = _reduce_streamed(
+        Gl, Gr, key, n_obs - 1,
+        n_modes=n_modes, n_iter=n_iter, bivariate=bivariate,
+    )
 
     score_dtype = (_fast._complex_dtype(dtype) if complexify
                    else np.dtype(dtype))
 
     def recover(loader, L_chol, T_side):
-        T = jax.scipy.linalg.solve_triangular(
-            L_chol.conj().T, T_side, lower=False
-        )
-        if complexify:
-            Z = _fast.analytic_projection_stack(T, H).astype(dtype)
-        else:
-            Z = jnp.real(T).astype(dtype)
-        colsum = jnp.sum(Z, axis=0)
-        A = jnp.zeros((n_obs, T_side.shape[1]), score_dtype)
+        Z = _recovery_weights(L_chol, T_side, H,
+                              complexify=complexify).astype(dtype)
+        A = _zeros_dev(shape=(n_obs, int(T_side.shape[1])),
+                       dtype=np.dtype(score_dtype).str)
         parts = []
         for c in loader():
-            P, A = _project_chunk(np.asarray(c, dtype), Z, colsum, A,
+            P, A = _project_chunk(np.asarray(c, dtype), Z, A,
                                   complexify)
-            parts.append(_to_np(P))
+            # hold the small (p_chunk, k) device results until the loop
+            # drains — a blocking readback per chunk would serialize
+            # the projection pass on tunneled backends
+            parts.append(P)
         if complexify:
             A = _fold_score_hilbert(A, H)
-        return np.concatenate(parts, axis=0), A
+        return np.concatenate([_to_np(P) for P in parts], axis=0), A
 
     V_left, S_left = recover(chunks_left, La, U)
     if bivariate:
