@@ -378,3 +378,29 @@ def test_truncated_solver_path(sst64, prcp64):
     rec = trunc.reconstructed_fields(mode=3)
     assert np.isfinite(np.asarray(rec['left'])[~np.isnan(
         np.asarray(rec['left']))]).all()
+
+
+def test_pattern_phase_shift_matches_host_computation():
+    """The fused pattern kernel with a phase shift == a naive host
+    Pearson of the (phase-shifted, real-part) PCs against the field."""
+    import numpy as np
+    rng = np.random.default_rng(8)
+    A = rng.standard_normal((80, 6, 7))
+    B = rng.standard_normal((80, 6, 7))
+    from xmca_tpu.array import MCA
+    m = MCA(A, B)
+    m.solve(complexify=True)
+    m.rotate(4)
+    shift = 0.7
+    hom, pv = m.homogeneous_patterns(3, phase_shift=shift)
+
+    pcs = m.pcs(3, phase_shift=shift)['left']
+    X = m._get_X(real=True)['left']
+    Xc = X - X.mean(0)
+    Pc = pcs.real - pcs.real.mean(0)
+    r_ref = (Xc.T @ Pc) / np.outer(
+        np.linalg.norm(Xc, axis=0), np.linalg.norm(Pc, axis=0)
+    )
+    r_ref = r_ref.reshape(6, 7, 3)
+    np.testing.assert_allclose(hom['left'], r_ref, atol=1e-10)
+    assert ((pv['left'] >= 0) & (pv['left'] <= 1)).all()
