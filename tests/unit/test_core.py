@@ -274,3 +274,26 @@ def test_ns_polar_survives_large_mode_spread_f32():
     assert orth < 1e-3
     col_norms = np.linalg.norm(np.asarray(B), axis=0)
     assert col_norms.min() > 1.0      # trailing modes survive rotation
+
+
+def test_ns_fixed_count_parameterized():
+    """'ns<k>' runs a k-step fixed-count Newton-Schulz polar — the
+    short-count variant the loose-tolerance noise ensembles use.  Its
+    validity envelope is sigma_min/||A||_F well above zero (noise
+    varimax criteria sit at ~k^-1/2); inside that envelope 14 steps
+    must deliver a unitary factor and the exact-SVD nuclear norm."""
+    import numpy as np
+    import jax.numpy as jnp
+    from xmca_tpu.core.linalg import unitary_polar_factor
+
+    rng = np.random.default_rng(3)
+    Q1, _ = np.linalg.qr(rng.standard_normal((10, 10)))
+    Q2, _ = np.linalg.qr(rng.standard_normal((10, 10)))
+    s = np.linspace(0.5, 1.0, 10)       # sigma_min/fro ~ 0.2
+    A = Q1 @ np.diag(s) @ Q2.T
+    W14, d14 = unitary_polar_factor(jnp.asarray(A), method='ns14')
+    Wsvd, dsvd = unitary_polar_factor(jnp.asarray(A), method='svd')
+    W14 = np.asarray(W14)
+    assert np.abs(W14.T @ W14 - np.eye(10)).max() < 1e-8
+    assert abs(float(d14) - float(dsvd)) / float(dsvd) < 1e-8
+    assert_allclose(W14, np.asarray(Wsvd), atol=1e-7)

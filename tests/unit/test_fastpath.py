@@ -173,3 +173,46 @@ def test_rule_n_fast_complex_uses_analytic(sst, prcp):
     fast = np.asarray(m.rule_n(8, n_modes=10, seed=3))
     assert fast.shape[0] == 10
     assert np.isfinite(fast).all() and (fast > 0).all()
+
+
+def test_nuclear_norm_surrogate(xy):
+    """The cheap 24-step default-precision variant that rescales
+    surrogate totals must sit within ~1e-3 of the exact sum (its
+    contract — the Monte-Carlo quantiles it feeds have ~6% noise)."""
+    from xmca_tpu.core.fastpath import nuclear_norm_surrogate
+    Xl, Xr = xy
+    s_exact = np.asarray(solve_svals(jnp.asarray(Xl), jnp.asarray(Xr)))
+    M, _, _ = reduced_kernel(jnp.asarray(Xl), jnp.asarray(Xr), 1e-12)
+    nn = float(nuclear_norm_surrogate(M))
+    assert abs(nn - s_exact.sum()) / s_exact.sum() < 1e-3
+
+
+def test_bf16_gram_symmetric_under_fused_jit():
+    """A Gram whose bf16 operand is itself a fused computation must stay
+    numerically symmetric (hence Cholesky-safe) under jit.
+
+    XLA can duplicate the fused producer (draw + centering) into each
+    dot operand with different intermediate precision; the two copies
+    then differ by an input ULP and the 'Gram' goes indefinite past the
+    jitter floor (NaN Cholesky masked WHOLE Rule-N ensembles at fixture
+    scale).  ``_materialize_gram_operand`` pins one materialization."""
+    from xmca_tpu.core.fastpath import (analytic_temporal_gram,
+                                        hilbert_imag_matrix)
+    from xmca_tpu.ops.surrogate import bits_field
+
+    n_obs, p = 492, 155
+    H = hilbert_imag_matrix(n_obs, jnp.float32)
+
+    @jax.jit
+    def stage(seed):
+        X = bits_field(seed, (n_obs, p), dist='normal16')
+        X = X - jnp.mean(X, axis=0, dtype=jnp.float32).astype(X.dtype)
+        G = analytic_temporal_gram(X, H)
+        return G, jnp.linalg.cholesky(G)
+
+    G, L = stage(jnp.asarray(-2506509236 & 0x7FFFFFFF, dtype=jnp.int32))
+    G = np.asarray(G)
+    herm_dev = np.abs(G - G.conj().T).max()
+    scale = np.abs(np.diagonal(G)).mean()
+    assert herm_dev / scale < 1e-5
+    assert np.isfinite(np.asarray(L)).all()

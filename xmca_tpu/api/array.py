@@ -116,19 +116,33 @@ def _whiten_scores_rotated_kernel(S, whiten, R_it, order, *, pool):
 
 
 @partial(jax.jit, static_argnames=('pool', 'keep'))
-def _reconstruct_kernel(X, V, whiten, R_it, col_w, R, inv_norm,
-                        norm_keep, order, *, pool, keep):
-    """Mode-subset reconstruction real(U_eigen V_rotᴴ), fully fused:
-    rotated scores and rotated loadings are both built from the basis
-    in-program and contracted without ever leaving the device.
-    ``keep`` is a (start, stop, step) tuple — slice objects are only
-    hashable (jit-static) from Python 3.12."""
+def _reconstruct_factors_kernel(X, V, whiten, R_it, col_w, R, inv_norm,
+                                norm_keep, order, *, pool, keep):
+    """Rank-k factors (S, W) of the mode-subset reconstruction.
+
+    The reconstruction is ``real(S Wᴴ)`` with ``S`` the eigen-scaled
+    rotated PCs (n_obs, k) and ``W`` the rotated spatial vectors (p, k)
+    — both assembled from the resident basis in one program.  ``keep``
+    is a (start, stop, step) tuple — slice objects are only hashable
+    (jit-static) from Python 3.12."""
     sel = slice(*keep)
     S = jnp.matmul(jnp.matmul(X, V[:, :pool], precision=_HI) * whiten,
                    R_it, precision=_HI)
     S = jnp.take(S, order, axis=1)[:, sel] * norm_keep
     W = jnp.matmul(V[:, :pool] * col_w, R, precision=_HI) * inv_norm
     W = jnp.take(W, order, axis=1)[:, sel]
+    return S, W
+
+
+@partial(jax.jit, static_argnames=('pool', 'keep'))
+def _reconstruct_kernel(X, V, whiten, R_it, col_w, R, inv_norm,
+                        norm_keep, order, *, pool, keep):
+    """Mode-subset reconstruction real(U_eigen V_rotᴴ), fully fused and
+    device-resident — the iterative bootstrap's deflation step."""
+    S, W = _reconstruct_factors_kernel(
+        X, V, whiten, R_it, col_w, R, inv_norm, norm_keep, order,
+        pool=pool, keep=keep,
+    )
     return jnp.real(jnp.matmul(S, W.conj().T, precision=_HI))
 
 
@@ -249,6 +263,7 @@ class MCA:
         self._solver_seed = 0
         self._surrogate_dtype = None
         self._surrogate_source = None          # auto (see rule_n)
+        self._ensemble_tol = None              # auto (see rule_n)
         self._surrogate_gen_dist = 'normal16'
 
     # ------------------------------------------------------------ ingestion
@@ -325,7 +340,7 @@ class MCA:
                    ensemble_axis='ensemble', spectrum=None,
                    subspace_iters=None, truncate=None, seed=None,
                    surrogate_dtype=None, surrogate_source=None,
-                   surrogate_gen_dist=None):
+                   surrogate_gen_dist=None, ensemble_tol=None):
         """Configure the TPU solver (extension over the reference API).
 
         Parameters
@@ -391,6 +406,17 @@ class MCA:
             universal in the first two moments at these dimensions;
             equivalence to Gaussian draws is measured in
             tests/integration/test_significance.py.
+        ensemble_tol : float, optional
+            Convergence tolerance of the rotation inside Monte-Carlo
+            NOISE ensembles (Rule-N).  Default (None) is automatic:
+            1e-4 on the TPU generated-surrogate path, the reference's
+            1e-8 elsewhere.  The null-distribution quantile is a
+            Monte-Carlo estimate with ~1/sqrt(2 N) relative error
+            (~6% at N=125) — rotating each surrogate to 1e-4 instead
+            of the f32 floor (1.2e-5) halves the per-run cost while
+            shifting q95 by <0.3% (measured at north-star scale,
+            benchmarks/RESULTS.md).  The analysis' own rotation and
+            bootstrap ensembles (real data) are unaffected.
         """
         if method is not None:
             if method not in ('gram', 'svd'):
@@ -427,6 +453,8 @@ class MCA:
                     "'normal32', 'rademacher' or 'rademacher8'"
                 )
             self._surrogate_gen_dist = surrogate_gen_dist
+        if ensemble_tol is not None:
+            self._ensemble_tol = float(ensemble_tol)
 
     def set_field_names(self, left='left', right='right'):
         """Set names of the left/right field, used in plots and save files."""
@@ -1310,25 +1338,44 @@ class MCA:
         through the tunnel).
         """
         self._require_resident_fields('reconstruction')
+        args, kw = self._reconstruct_args(key, mode)
+        return _reconstruct_kernel(*args, **kw)
+
+    def _reconstruct_args(self, key, mode):
         pool = self._analysis['n_rot']
         keep = self._get_slice(mode)
         basis = self._basis_dev()
         col_w, whiten = self._rotation_weights(pool)
-        return _reconstruct_kernel(
+        args = (
             self._fields[key], basis[key],
             whiten, self._rotation_dev(inverse_transpose=True),
             col_w, self._rotation_dev(),
             1.0 / self._get_norm(pool, sorted=False)[key],
             self._get_norm(mode, sorted=True)[key],
-            self._var_idx, pool=pool,
-            keep=(keep.start, keep.stop, keep.step),
+            self._var_idx,
         )
+        return args, dict(pool=pool,
+                          keep=(keep.start, keep.stop, keep.step))
 
     def _reconstructed_X(self, mode=None, original_scale=True):
-        rec = {
-            k: _to_np(self._reconstructed_X_dev(k, mode))
-            for k in self._keys
-        }
+        """Host reconstruction from the rank-k factors.
+
+        Only the (n_obs, k) scores and (p, k) loadings cross the
+        device->host link (a few MB); the (n_obs, p) outer product runs
+        as host BLAS — at north-star scale that replaces a ~2 x 800 MB
+        tunnel transfer (~2 min at ~45 MB/s) with a sub-second sgemm.
+        ``real(S Wᴴ) = Re(S) Re(W)ᵀ + Im(S) Im(W)ᵀ`` keeps it as two
+        real gemms for complex solutions."""
+        self._require_resident_fields('reconstruction')
+        rec = {}
+        for k in self._keys:
+            args, kw = self._reconstruct_args(k, mode)
+            S, W = (_to_np(a)
+                    for a in _reconstruct_factors_kernel(*args, **kw))
+            if np.iscomplexobj(S):
+                rec[k] = S.real @ W.real.T + S.imag @ W.imag.T
+            else:
+                rec[k] = S @ W.T
         if original_scale:
             rec = self._scale_X_inverse(rec)
         return rec
@@ -1506,6 +1553,23 @@ class MCA:
                 self._ensemble_spectrum == 'fast'
                 and jax.default_backend() == 'tpu'
             ) else 'draw'
+        tol = self._ensemble_tol
+        if tol is None:
+            # auto: on the TPU generated-noise path a 1e-4 rotation
+            # tolerance halves the per-run cost at a <0.3% q95 shift
+            # (see set_solver(ensemble_tol)); elsewhere keep the
+            # reference's 1e-8 — on CPU the batched lanes of a sharded
+            # ensemble iterate until the SLOWEST lane converges, and a
+            # loose stopping point leaves ~1% run-for-run wiggle that
+            # the mesh-parity contract (sharded == unsharded, 1e-4)
+            # must not absorb
+            tol = 1e-4 if (source == 'generated'
+                           and jax.default_backend() == 'tpu') else 1e-8
+        # shorter fixed-count polar for loose-tolerance noise rotations:
+        # at tol=1e-4 the criterion never needs the 30-step tail, and
+        # noise criteria are well-conditioned (sigma/fro ~ k^-1/2)
+        polar = 'ns14' if (source == 'generated' and tol >= 1e-4) \
+            else 'ns'
         progress, close = self._progress_bar(n_runs, disable_progress)
         try:
             spectra, totals = _sig.rule_n_spectra(
@@ -1514,6 +1578,7 @@ class MCA:
                 rotated=self._analysis['is_rotated'],
                 n_rot=self._analysis['n_rot'],
                 power=max(1, self._analysis['power']),
+                tol=tol, polar_method=polar,
                 dtype=dtype, method=self._solver_method, seed=seed,
                 batch_size=self._ensemble_batch_size,
                 mesh=self._ensemble_mesh,
@@ -1527,6 +1592,17 @@ class MCA:
             )
         finally:
             close()
+        if spectra.shape[0] == 0:
+            # every surrogate rotation was masked non-converged (the
+            # reference silently `continue`s past these runs,
+            # xmca/array.py:1759-1763 — but an EMPTY ensemble would
+            # crash any quantile the caller takes on it)
+            raise RuntimeError(
+                'Rule N: all {:d} surrogate runs failed to converge; '
+                'no null distribution available.  Try more runs, a '
+                'looser set_solver(ensemble_tol=...), or fewer rotated '
+                'modes.'.format(n_runs)
+            )
         svals = spectra.T                        # (n_modes, n_runs)
         # Rule-N rescaling normalizes each surrogate's full-spectrum total
         # to the true analysis total.  After set_solver(truncate=k) the

@@ -63,6 +63,25 @@ def _data_dot(a, b):
     return jnp.matmul(a, b, precision=_HI)
 
 
+def _materialize_gram_operand(X):
+    """Pin a Gram operand to ONE materialization of its producer.
+
+    ``G = X @ X.T`` is only exactly symmetric (hence PSD up to
+    accumulation roundoff) when both dot operands are the SAME array.
+    When ``X`` is itself a fused computation (surrogate draw +
+    centering, bfloat16), XLA may duplicate that producer into each
+    operand's fusion with different intermediate precision — the two
+    copies then disagree by an input ULP, the "Gram" becomes visibly
+    asymmetric (measured 1e-1 absolute at (492, 155) bf16 on CPU,
+    vs 1e-4 eager), and its spectrum goes indefinite far beyond the
+    ``_jitter`` floor, so Cholesky returns NaN and whole Monte-Carlo
+    ensembles are masked as non-converged.  An optimization barrier
+    forces a single shared materialization; the array is ~(n, p) and
+    already resident in the production path, so this costs nothing.
+    """
+    return jax.lax.optimization_barrier(X)
+
+
 def _jitter(G, p, jitter_rel, input_eps=None):
     """Add the rank-deficiency jitter to a (possibly complex) Gram.
 
@@ -139,6 +158,7 @@ def analytic_temporal_gram(X, H, jitter_rel=1e-6):
     ~4x cheaper than a complex Gram and no FFT.  ``X`` may be bfloat16
     (surrogate ensembles); the Gram always accumulates in float32.
     """
+    X = _materialize_gram_operand(X)
     G = _data_dot(X, X.T)
     GZ = _analytic_fold(G, H)
     return _jitter(GZ.astype(_complex_dtype(X.dtype)), X.shape[1],
@@ -314,7 +334,7 @@ def fast_spectrum_analytic(Xl, Xr, H, key, k, n_iter=8,
     M, _, _ = analytic_reduced_kernel(Xl, Xr, H, jitter_rel)
     _, s, _ = subspace_svd(M, key, k=k, n_iter=n_iter)
     if with_nuclear:
-        return s, nuclear_norm(M)
+        return s, nuclear_norm_surrogate(M)
     return s, jnp.sum(s)
 
 
@@ -330,6 +350,7 @@ def temporal_gram(X, jitter_rel=1e-6):
     """
     # dtype-aware contraction: bfloat16 data accumulates into float32
     # (the Gram feeds Cholesky, which has no low-precision kernel)
+    X = _materialize_gram_operand(X)
     G = _data_dot(X, X.conj().T)
     return _jitter(G, X.shape[1], jitter_rel,
                    input_eps=jnp.finfo(X.dtype).eps)
@@ -433,6 +454,28 @@ def nuclear_norm(M, n_iter=50):
     return jnp.real(jnp.trace(_dot_hi(W.conj().T, M)))
 
 
+@partial(jax.jit, static_argnames=('n_iter',))
+def nuclear_norm_surrogate(M, n_iter=24):
+    """Cheap nuclear norm for per-surrogate rescaling totals.
+
+    Same Newton-Schulz trace as :func:`nuclear_norm` but at the MXU's
+    default f32 precision (bf16 passes, ~1e-4/step) and 24 steps: after
+    Frobenius scaling a noise kernel's singular values sit at
+    ``~n^-1/2`` (0.02 at n=2000), and the small-x map ``x <- 1.5x``
+    grows them into the quadratic basin in ~10 steps, so ~20 steps
+    converge the bulk and the stragglers contribute least to the sum.
+    Accuracy ~1e-3 relative — far below the Monte-Carlo noise of the
+    null-distribution quantiles it rescales.  The analysis' own totals
+    (``total_covariance`` parity) keep the exact 50-step HIGHEST-
+    precision variant.
+    """
+    fro = jnp.linalg.norm(M)
+    W = M / fro
+    for _ in range(n_iter):
+        W = 1.5 * W - 0.5 * (W @ (W.conj().T @ W))
+    return jnp.real(jnp.trace(_dot_hi(W.conj().T, M)))
+
+
 @partial(jax.jit, static_argnames=('k', 'n_iter', 'with_nuclear'))
 def fast_spectrum(Xl, Xr, key, k, n_iter=8, with_nuclear=True,
                   jitter_rel=1e-6):
@@ -446,7 +489,7 @@ def fast_spectrum(Xl, Xr, key, k, n_iter=8, with_nuclear=True,
     M, _, _ = reduced_kernel(Xl, Xr, jitter_rel)
     _, s, _ = subspace_svd(M, key, k=k, n_iter=n_iter)
     if with_nuclear:
-        total = nuclear_norm(M)
+        total = nuclear_norm_surrogate(M)
         return s, total
     return s, jnp.sum(s)
 
@@ -586,7 +629,7 @@ def fast_surrogate_variance_gen(seed, key, n_obs, n_vars, H=None,
 
     if not rotated:
         _, s, _ = subspace_svd(M, key, k=n_rot, n_iter=n_iter)
-        total = nuclear_norm(M)
+        total = nuclear_norm_surrogate(M)
         conv = jnp.isfinite(s).all()
         return s, total, conv
 
@@ -704,7 +747,7 @@ def fast_surrogate_variance_int8(seed, key, n_obs, n_vars, H=None,
 
     if not rotated:
         _, s, _ = subspace_svd(M, key, k=n_rot, n_iter=n_iter)
-        total = nuclear_norm(M)
+        total = nuclear_norm_surrogate(M)
         return s, total, jnp.isfinite(s).all()
 
     U, s, V = subspace_svd(M, key, k=n_rot, n_iter=n_iter)

@@ -157,13 +157,24 @@ def unitary_polar_factor(A, method='svd'):
     method='ns'    — scaled Newton-Schulz iteration: pure (batchable)
         matmuls, the TPU fast path.  Small dense factorizations inside a
         ``while_loop`` serialize badly on TPU; 30 fused matmul steps of a
-        p x p matrix cost microseconds instead.
+        p x p matrix cost microseconds instead.  ``'ns<k>'`` (e.g.
+        'ns14') runs k fixed steps instead of 30 — the noise-ensemble
+        criteria are well-conditioned enough that shorter counts
+        converge (measured in benchmarks/RESULTS.md).
 
     Returns (W, nuclear_norm).
     """
     if method == 'polar':
         W, P = jax.scipy.linalg.polar(A, side='right')
         return W, jnp.trace(P).real
+    if method.startswith('ns') and method[2:].isdigit():
+        n_steps = int(method[2:])
+        fro = jnp.linalg.norm(A)
+        W = A / jnp.where(fro == 0, 1.0, fro)
+        for _ in range(n_steps):
+            W = 1.5 * W - 0.5 * (W @ (W.conj().T @ W))
+        d = jnp.real(jnp.trace(W.conj().T @ A))
+        return W, d
     if method == 'ns':
         # Fixed-count Newton-Schulz: 30 fused matmul steps.  Valid ONLY
         # for well-conditioned inputs (sigma_min/||A||_F well above

@@ -234,7 +234,7 @@ def rule_n_spectra(n_obs, n_vars, n_runs, *, complexify=False, rotated=False,
                    ensemble_axis='ensemble', spectrum='exact',
                    n_modes_fast=None, subspace_iters=12,
                    surrogate_source='draw', surrogate_dist='normal16',
-                   progress=None):
+                   polar_method='ns', progress=None):
     """Rule-N surrogate variance spectra (Overland & Preisendorfer 1982).
 
     TPU-native replacement for the reference's host loop
@@ -274,6 +274,7 @@ def rule_n_spectra(n_obs, n_vars, n_runs, *, complexify=False, rotated=False,
             rotated=rotated, n_rot=n_rot, power=power, tol=tol,
             seed=seed, n_modes_fast=n_modes_fast,
             subspace_iters=subspace_iters, dist=surrogate_dist,
+            polar_method=polar_method,
             batch_size=batch_size, mesh=mesh,
             ensemble_axis=ensemble_axis, progress=progress,
         )
@@ -295,7 +296,7 @@ def rule_n_spectra(n_obs, n_vars, n_runs, *, complexify=False, rotated=False,
 
     cache_key = ('rule_n', n_obs, n_vars, complexify, rotated, n_rot,
                  power, float(tol), method, spectrum, n_modes_fast,
-                 subspace_iters, dtype.str)
+                 subspace_iters, dtype.str, polar_method)
 
     def build():
         def one_run(key):
@@ -308,7 +309,7 @@ def rule_n_spectra(n_obs, n_vars, n_runs, *, complexify=False, rotated=False,
                 fields, complexify, rotated, n_rot, power, tol, method,
                 spectrum=spectrum, n_modes_fast=n_modes_fast,
                 subspace_iters=subspace_iters, fast_key=ks[-1],
-                hilbert_H=hilbert_H,
+                hilbert_H=hilbert_H, polar_method=polar_method,
             )
         return one_run
 
@@ -324,7 +325,8 @@ def rule_n_spectra(n_obs, n_vars, n_runs, *, complexify=False, rotated=False,
 
 def _rule_n_generated(n_obs, n_vars, n_runs, *, complexify, rotated,
                       n_rot, power, tol, seed, n_modes_fast,
-                      subspace_iters, dist, batch_size=None, mesh=None,
+                      subspace_iters, dist, polar_method='ns',
+                      batch_size=None, mesh=None,
                       ensemble_axis='ensemble', progress=None):
     """The single-device TPU Rule-N production pipeline.
 
@@ -353,7 +355,7 @@ def _rule_n_generated(n_obs, n_vars, n_runs, *, complexify, rotated,
 
     cache_key = ('rule_n_gen', n_obs, n_vars, complexify, rotated,
                  n_rot, power, float(tol), n_modes_fast,
-                 subspace_iters, dist)
+                 subspace_iters, dist, polar_method)
 
     def build():
         def one_run(seed_row):
@@ -368,6 +370,7 @@ def _rule_n_generated(n_obs, n_vars, n_runs, *, complexify, rotated,
                     complexify=complexify, rotated=rotated,
                     n_rot=n_rot if rotated else n_modes_fast,
                     power=power, tol=tol, n_iter=subspace_iters,
+                    polar_method=polar_method,
                 )
             fields = [
                 bits_field(s * 2 + i, (n_obs, p), dist=dist)
@@ -377,7 +380,7 @@ def _rule_n_generated(n_obs, n_vars, n_runs, *, complexify, rotated,
                 fields, complexify, rotated, n_rot, power, tol,
                 'gram', spectrum='fast', n_modes_fast=n_modes_fast,
                 subspace_iters=subspace_iters, fast_key=k,
-                hilbert_H=hilbert_H,
+                hilbert_H=hilbert_H, polar_method=polar_method,
             )
         return one_run
 
