@@ -182,6 +182,26 @@ def test_reconstruction_all_modes(sst, prcp):
     )
 
 
+def test_reconstruction_folded_scaling_matches_explicit(sst, prcp):
+    """The rank-k reconstruction folds the inverse scaling (coslat
+    un-weighting, std multiply, mean add) into its gemm factors; it
+    must agree with the explicit full-field `_scale_X_inverse` pass on
+    a NaN-bearing, normalized, coslat-weighted complex rotated model."""
+    m = xMCA(sst, prcp)
+    m.normalize()
+    m.apply_coslat()
+    m.solve(complexify=True)
+    m.rotate(4)
+    fused = m._reconstructed_X(mode=slice(1, 3), original_scale=True)
+    raw = m._reconstructed_X(mode=slice(1, 3), original_scale=False)
+    explicit = m._scale_X_inverse(raw)
+    for k in fused:
+        assert_allclose(fused[k], explicit[k], rtol=1e-10, atol=1e-12)
+    # and the fields carry NaN columns, so the scatter branch runs
+    rec = m.reconstructed_fields(mode=slice(1, 3))
+    assert np.isnan(np.asarray(rec['left'])).any()
+
+
 def test_reconstruction_mode_subset(models):
     model = models('std')
     rec1 = model.reconstructed_fields(mode=1)

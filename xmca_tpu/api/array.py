@@ -1357,15 +1357,32 @@ class MCA:
         return args, dict(pool=pool,
                           keep=(keep.start, keep.stop, keep.step))
 
+    def _inverse_scale_vectors(self, key):
+        """The inverse scaling as per-column vectors over kept columns.
+
+        The whole inverse transform of `_scale_X_inverse` is
+        ``X * colmul + coladd`` with both vectors spatial-only, so
+        rank-k paths can fold it into their factors instead of running
+        full-field host passes.  Returns (colmul, coladd); colmul may
+        be None (identity)."""
+        colmul = (np.asarray(self._field_stds[key])
+                  if self._analysis['is_normalized'] else None)
+        return colmul, np.asarray(self._field_means[key])
+
     def _reconstructed_X(self, mode=None, original_scale=True):
         """Host reconstruction from the rank-k factors.
 
         Only the (n_obs, k) scores and (p, k) loadings cross the
         device->host link (a few MB); the (n_obs, p) outer product runs
-        as host BLAS — at north-star scale that replaces a ~2 x 800 MB
-        tunnel transfer (~2 min at ~45 MB/s) with a sub-second sgemm.
-        ``real(S Wᴴ) = Re(S) Re(W)ᵀ + Im(S) Im(W)ᵀ`` keeps it as two
-        real gemms for complex solutions."""
+        as ONE host sgemm — at north-star scale that replaces a
+        ~2 x 800 MB tunnel transfer (~2 min at ~45 MB/s).  The gemm
+        also absorbs every elementwise pass over the output grid:
+        ``real(S Wᴴ) = Re(S) Re(W)ᵀ + Im(S) Im(W)ᵀ`` (two stacked real
+        factor blocks), the inverse column scaling folds into ``W``
+        (it is per-column: std, coslat), and the mean add becomes an
+        appended ones-column in ``S`` against the means column in
+        ``W`` — each extra full-field pass costs ~1 s/field on the
+        single host core at (2000, 100k)."""
         self._require_resident_fields('reconstruction')
         rec = {}
         for k in self._keys:
@@ -1373,17 +1390,35 @@ class MCA:
             S, W = (_to_np(a)
                     for a in _reconstruct_factors_kernel(*args, **kw))
             if np.iscomplexobj(S):
-                rec[k] = S.real @ W.real.T + S.imag @ W.imag.T
+                Sp = [np.ascontiguousarray(S.real),
+                      np.ascontiguousarray(S.imag)]
+                Wp = [np.ascontiguousarray(W.real),
+                      np.ascontiguousarray(W.imag)]
             else:
-                rec[k] = S @ W.T
-        if original_scale:
-            rec = self._scale_X_inverse(rec)
+                Sp, Wp = [S], [W]
+            if original_scale:
+                colmul, coladd = self._inverse_scale_vectors(k)
+                if colmul is not None:
+                    cm = colmul.astype(Wp[0].dtype)[:, None]
+                    Wp = [w * cm for w in Wp]
+                Sp.append(np.ones((S.shape[0], 1), dtype=Sp[0].dtype))
+                Wp.append(coladd.astype(Wp[0].dtype)[:, None])
+            A = Sp[0] if len(Sp) == 1 else np.concatenate(Sp, axis=1)
+            B = Wp[0] if len(Wp) == 1 else np.concatenate(Wp, axis=1)
+            rec[k] = A @ B.T
         return rec
 
     def _reconstructed_fields(self, mode=None, original_scale=True):
         Xrec = self._reconstructed_X(mode=mode, original_scale=original_scale)
         n_obs = self._n_observations['left']
         for k in list(Xrec.keys()):
+            if self._no_nan_index[k].all():
+                # no dropped columns: the gemm output IS the grid —
+                # skip the scatter's extra full-field pass
+                Xrec[k] = Xrec[k].reshape(
+                    (-1,) + self._fields_spatial_shape[k]
+                )
+                continue
             # keep the data dtype: a default-f64 scatter buffer doubles
             # host memory and host-side work at (2000, 100k) scale
             rec = np.full((n_obs, self._n_variables[k]), np.nan,

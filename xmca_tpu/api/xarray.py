@@ -148,6 +148,15 @@ class xMCA(MCA):
             scaled[k] = field
         return scaled
 
+    def _inverse_scale_vectors(self, key):
+        """Adds the coslat un-weighting to the base per-column inverse
+        (same ordering as `_scale_X_inverse`; all factors commute)."""
+        colmul, coladd = super()._inverse_scale_vectors(key)
+        if self._analysis['is_coslat_corrected']:
+            inv_w = 1.0 / self._coslat_weights(key)
+            colmul = inv_w if colmul is None else colmul * inv_w
+        return colmul, coladd
+
     # ----------------------------------------------------------- weighting
     def _weight_columns(self, k, weight):
         """Evaluate a weight on field `k`'s spatial grid and pack it
