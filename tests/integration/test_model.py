@@ -197,9 +197,14 @@ def test_reconstruction_folded_scaling_matches_explicit(sst, prcp):
     explicit = m._scale_X_inverse(raw)
     for k in fused:
         assert_allclose(fused[k], explicit[k], rtol=1e-10, atol=1e-12)
-    # and the fields carry NaN columns, so the scatter branch runs
+    # and the fields carry NaN columns, so the NaN-row-gemm branch
+    # runs: dropped cells are NaN, kept cells equal the packed gemm
     rec = m.reconstructed_fields(mode=slice(1, 3))
-    assert np.isnan(np.asarray(rec['left'])).any()
+    for k in fused:
+        flat = np.asarray(rec[k]).reshape(fused[k].shape[0], -1)
+        keep = m._no_nan_index[k]
+        assert np.isnan(flat[:, ~keep]).all()
+        assert_allclose(flat[:, keep], fused[k], rtol=1e-10, atol=1e-12)
 
 
 def test_reconstruction_mode_subset(models):

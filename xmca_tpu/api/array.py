@@ -1369,8 +1369,9 @@ class MCA:
                   if self._analysis['is_normalized'] else None)
         return colmul, np.asarray(self._field_means[key])
 
-    def _reconstructed_X(self, mode=None, original_scale=True):
-        """Host reconstruction from the rank-k factors.
+    def _reconstruct_host_factors(self, key, mode, original_scale):
+        """Rank-k reconstruction factors ``(A, B)`` with everything
+        folded in, so callers run exactly ``A @ B.T``.
 
         Only the (n_obs, k) scores and (p, k) loadings cross the
         device->host link (a few MB); the (n_obs, p) outer product runs
@@ -1380,52 +1381,61 @@ class MCA:
         ``real(S Wᴴ) = Re(S) Re(W)ᵀ + Im(S) Im(W)ᵀ`` (two stacked real
         factor blocks), the inverse column scaling folds into ``W``
         (it is per-column: std, coslat), and the mean add becomes an
-        appended ones-column in ``S`` against the means column in
-        ``W`` — each extra full-field pass costs ~1 s/field on the
+        appended ones-column in ``A`` against the means column in
+        ``B`` — each extra full-field pass costs ~1 s/field on the
         single host core at (2000, 100k)."""
+        args, kw = self._reconstruct_args(key, mode)
+        S, W = (_to_np(a)
+                for a in _reconstruct_factors_kernel(*args, **kw))
+        if np.iscomplexobj(S):
+            Sp = [np.ascontiguousarray(S.real),
+                  np.ascontiguousarray(S.imag)]
+            Wp = [np.ascontiguousarray(W.real),
+                  np.ascontiguousarray(W.imag)]
+        else:
+            Sp, Wp = [S], [W]
+        if original_scale:
+            colmul, coladd = self._inverse_scale_vectors(key)
+            if colmul is not None:
+                cm = colmul.astype(Wp[0].dtype)[:, None]
+                Wp = [w * cm for w in Wp]
+            Sp.append(np.ones((S.shape[0], 1), dtype=Sp[0].dtype))
+            Wp.append(coladd.astype(Wp[0].dtype)[:, None])
+        A = Sp[0] if len(Sp) == 1 else np.concatenate(Sp, axis=1)
+        B = Wp[0] if len(Wp) == 1 else np.concatenate(Wp, axis=1)
+        return A, B
+
+    def _reconstructed_X(self, mode=None, original_scale=True):
+        """Host reconstruction on the packed (kept) columns — one sgemm
+        per field (see `_reconstruct_host_factors`)."""
         self._require_resident_fields('reconstruction')
         rec = {}
         for k in self._keys:
-            args, kw = self._reconstruct_args(k, mode)
-            S, W = (_to_np(a)
-                    for a in _reconstruct_factors_kernel(*args, **kw))
-            if np.iscomplexobj(S):
-                Sp = [np.ascontiguousarray(S.real),
-                      np.ascontiguousarray(S.imag)]
-                Wp = [np.ascontiguousarray(W.real),
-                      np.ascontiguousarray(W.imag)]
-            else:
-                Sp, Wp = [S], [W]
-            if original_scale:
-                colmul, coladd = self._inverse_scale_vectors(k)
-                if colmul is not None:
-                    cm = colmul.astype(Wp[0].dtype)[:, None]
-                    Wp = [w * cm for w in Wp]
-                Sp.append(np.ones((S.shape[0], 1), dtype=Sp[0].dtype))
-                Wp.append(coladd.astype(Wp[0].dtype)[:, None])
-            A = Sp[0] if len(Sp) == 1 else np.concatenate(Sp, axis=1)
-            B = Wp[0] if len(Wp) == 1 else np.concatenate(Wp, axis=1)
+            A, B = self._reconstruct_host_factors(k, mode, original_scale)
             rec[k] = A @ B.T
         return rec
 
     def _reconstructed_fields(self, mode=None, original_scale=True):
-        Xrec = self._reconstructed_X(mode=mode, original_scale=original_scale)
-        n_obs = self._n_observations['left']
-        for k in list(Xrec.keys()):
-            if self._no_nan_index[k].all():
-                # no dropped columns: the gemm output IS the grid —
-                # skip the scatter's extra full-field pass
-                Xrec[k] = Xrec[k].reshape(
-                    (-1,) + self._fields_spatial_shape[k]
-                )
-                continue
-            # keep the data dtype: a default-f64 scatter buffer doubles
-            # host memory and host-side work at (2000, 100k) scale
-            rec = np.full((n_obs, self._n_variables[k]), np.nan,
-                          dtype=Xrec[k].dtype)
-            rec[:, self._no_nan_index[k]] = Xrec[k]
-            Xrec[k] = rec.reshape((-1,) + self._fields_spatial_shape[k])
-        return Xrec
+        """Full-grid reconstruction with the NaN scatter folded into
+        the gemm: dropped columns become NaN *rows* of the tiny (p, k)
+        ``B`` factor, so the sgemm writes the NaN-masked full-width
+        grid directly (NaN propagates through every dot product).
+        Versus gemm-then-scatter this removes a second ~800 MB/field
+        buffer and the full-field copy through it."""
+        self._require_resident_fields('reconstruction')
+        rec = {}
+        for k in self._keys:
+            A, B = self._reconstruct_host_factors(k, mode, original_scale)
+            idx = self._no_nan_index[k]
+            if not idx.all():
+                full = np.full((self._n_variables[k], B.shape[1]),
+                               np.nan, dtype=B.dtype)
+                full[idx] = B
+                B = full
+            rec[k] = (A @ B.T).reshape(
+                (-1,) + self._fields_spatial_shape[k]
+            )
+        return rec
 
     def reconstructed_fields(self, mode=None, original_scale=True):
         """Reconstruct input fields from a subset of modes."""
