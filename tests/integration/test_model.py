@@ -115,6 +115,28 @@ def test_getter(models, name, n, scaling, phase_shift, rotated):
     model.temporal_phase(n, phase_shift, rotated)
 
 
+def test_eof_scaling_axes_quirk_1d_spatial():
+    """Reference parity: eofs 'max'/'std' scaling reduces over the
+    literal axes (0, 1) of the scattered grid (xmca/array.py:709-712).
+    For a 1-D spatial field the grid is (p, modes), so the reduction
+    sweeps the MODE axis too — one global divisor, not per-mode."""
+    from xmca_tpu.array import MCA
+    r = np.random.default_rng(3)
+    m = MCA(r.standard_normal((80, 17)), r.standard_normal((80, 23)))
+    m.solve()
+    raw = m.eofs(5, scaling='None')
+    mx = m.eofs(5, scaling='max')
+    sd = m.eofs(5, scaling='std')
+    for k in ('left', 'right'):
+        assert raw[k].shape == (raw[k].shape[0], 5)
+        assert_allclose(
+            mx[k], raw[k] / np.nanmax(np.abs(raw[k].real)), rtol=1e-12
+        )
+        assert_allclose(
+            sd[k], raw[k] / np.nanstd(raw[k].real), rtol=1e-12
+        )
+
+
 def test_getter_invalid_scaling(models):
     model = models('std')
     with pytest.raises(ValueError):

@@ -132,3 +132,20 @@ def test_plot_with_real_cartopy(tmp_path):
     assert fig is not None
     fig.savefig(str(tmp_path / 'mode1.png'))
     plt.close('all')
+
+
+def test_weight_alignment_collapse_falls_back_loudly():
+    """A DataArray weight whose coordinate alignment (inner join)
+    collapses a spatial dim must NOT be silently tiled across the grid:
+    the fast path declines (shape check, api/xarray.py _weight_columns)
+    and the host fallback reproduces the reference's ValueError
+    (xmca/xarray.py full-field multiply + reshape)."""
+    m = xMCA(_real(1), _real(2))
+    # weight defined on a single latitude: real-xarray alignment shrinks
+    # (template * w) to shape (1, LON)
+    w = real_xr.DataArray(
+        np.full((1, LON), 2.0), dims=('lat', 'lon'),
+        coords={'lat': COORDS['lat'][:1], 'lon': COORDS['lon']},
+    )
+    with pytest.raises(ValueError):
+        m.apply_weights(left=w)

@@ -146,6 +146,59 @@ def test_streamed_guards_full_matrix_methods(disk_fields, tmp_path):
         mx.apply_coslat()
 
 
+def test_streamed_nan_columns_match_in_memory(disk_fields, tmp_path):
+    """NaN columns are dropped *exactly* during streaming (their Gram/
+    score contributions are zeroed), so a streamed solve of NaN-bearing
+    data must equal the in-memory solve, which removes those columns —
+    and the scattered EOF grids carry the NaN cells in place."""
+    p = N_LAT * N_LON
+    data = {k: disk_fields[k][1].reshape(N_OBS, p).copy()
+            for k in ('left', 'right')}
+    data['left'][:, [3, 41]] = np.nan
+    data['left'][0, 100] = np.nan           # partial NaN drops it too
+    data['right'][:, 7] = np.nan
+    paths = {}
+    for k in data:
+        path = tmp_path / f'{k}_nan.dat'
+        mm = np.memmap(path, dtype=np.float64, mode='w+',
+                       shape=(N_OBS, p))
+        mm[:] = data[k]
+        mm.flush()
+        paths[k] = path
+    ms = MCA.from_chunks(
+        _loader(paths['left'], 97), _loader(paths['right'], 97),
+        n_observations=N_OBS, left_shape=(N_LAT, N_LON),
+        right_shape=(N_LAT, N_LON),
+    )
+    ms.set_solver(truncate=K)
+    ms.solve()
+    mm_ = MCA(data['left'].reshape(N_OBS, N_LAT, N_LON),
+              data['right'].reshape(N_OBS, N_LAT, N_LON))
+    mm_.set_solver(truncate=K)
+    mm_.solve()
+    assert_allclose(ms.singular_values(), mm_.singular_values(),
+                    rtol=1e-9)
+    eof_s, eof_m = ms.eofs(K, rotated=False), mm_.eofs(K, rotated=False)
+    pcs_s, pcs_m = ms.pcs(K, rotated=False), mm_.pcs(K, rotated=False)
+    for k in ('left', 'right'):
+        assert_allclose(eof_s[k], eof_m[k], atol=1e-8)
+        assert_allclose(pcs_s[k], pcs_m[k], atol=1e-8)
+    flat = eof_s['left'].reshape(p, K)
+    assert np.isnan(flat[[3, 41, 100]]).all()
+    assert np.isfinite(flat[0]).all()
+
+
+def test_streamed_all_nan_field_raises(disk_fields):
+    def all_nan():
+        yield np.full((N_OBS, 50), np.nan)
+    m = MCA.from_chunks(
+        lambda: all_nan(), None,
+        n_observations=N_OBS, left_shape=(50,),
+    )
+    with pytest.raises(RuntimeError, match='no NaN-free columns'):
+        m.solve()
+
+
 def test_streamed_extend_rejected(disk_fields):
     m = MCA.from_chunks(
         _loader(disk_fields['left'][0], 128), None,

@@ -27,10 +27,11 @@ def raw_xy():
 
 def test_streamed_gram_is_exactly_centered(raw_xy):
     Xl, _ = raw_xy
-    G, p, mean, std = streamed_gram(
+    G, p, mean, std, keep = streamed_gram(
         chunks_from_array(Xl, 64), Xl.shape[0], jnp.float64
     )
     assert p == Xl.shape[1]
+    assert keep.all()
     G = np.asarray(G)
     Xc = Xl - Xl.mean(0)
     ref = Xc @ Xc.T

@@ -477,10 +477,12 @@ class MCA:
         Parameters
         ----------
         left, right : callables returning a *fresh* iterable of
-            ``(n_observations, p_chunk)`` host arrays (NaN-free), e.g.
-            successive reads from a memmap / zarr / netCDF store.  Each
-            field is streamed twice per solve (Gram pass + projection
-            pass).
+            ``(n_observations, p_chunk)`` host arrays, e.g. successive
+            reads from a memmap / zarr / netCDF store.  Each field is
+            streamed twice per solve (Gram pass + projection pass).
+            Columns containing NaN are dropped exactly, matching the
+            in-memory ingestion (their Gram/score contributions are
+            zeroed — algebraically identical to removal).
         n_observations : length of the time axis.
         left_shape, right_shape : spatial shape tuples (or flat column
             counts) of the full fields.
@@ -844,6 +846,10 @@ class MCA:
 
         self._field_means = {k: res.means[k] for k in self._keys}
         self._field_stds = {k: res.stds[k] for k in self._keys}
+        # NaN columns were dropped exactly during streaming (zeroed
+        # contributions); install the mask so getters scatter NaN back
+        # like in-memory models do
+        self._no_nan_index = {k: res.keep[k] for k in self._keys}
         self._V = dict(zip(self._keys, (res.V_left, res.V_right)))
         self._stream_scores = dict(
             zip(self._keys, (res.scores_left, res.scores_right))
@@ -1114,13 +1120,18 @@ class MCA:
         return {k: _to_np(series(k))[:, keep] for k in self._keys}
 
     @staticmethod
-    def _rescale_modes(arr, scaling, eigen_norm, ref=None):
+    def _rescale_modes(arr, scaling, eigen_norm, ref=None, axes=None):
         """The shared mode-scaling ladder (None / eigen / max / std).
 
         ``ref`` supplies the max/std statistics (defaults to ``arr``
         itself — ``predict`` normalizes new PCs by the *original* PCs'
-        statistics); reductions run over every non-mode axis.
-        """
+        statistics).  ``axes`` picks the reduction axes; the default
+        reduces every non-mode axis, which matches the reference for
+        PC series (xmca/array.py:741-744, axis=0).  EOF grids pass the
+        reference's literal ``(0, 1)`` (xmca/array.py:709-712) — a
+        quirk for non-2D spatial grids: 1-D spatial grids reduce over
+        the mode axis too (one global divisor), 3-D+ spatial grids get
+        per-(trailing-axes, mode) divisors."""
         if scaling == 'None':
             return arr
         if scaling == 'eigen':
@@ -1132,7 +1143,8 @@ class MCA:
                 .format(scaling)
             )
         stats_src = (arr if ref is None else ref).real
-        axes = tuple(range(stats_src.ndim - 1))
+        if axes is None:
+            axes = tuple(range(stats_src.ndim - 1))
         if scaling == 'max':
             return arr / np.nanmax(np.abs(stats_src), axis=axes)
         return arr / np.nanstd(stats_src, axis=axes)
@@ -1154,7 +1166,7 @@ class MCA:
         return {
             k: self._rescale_modes(
                 self._shift_phase(grid, phase_shift), scaling,
-                self._get_norm(count, sorted=True)[k],
+                self._get_norm(count, sorted=True)[k], axes=(0, 1),
             )
             for k, grid in grids.items()
         }
@@ -1247,23 +1259,6 @@ class MCA:
         from scipy.special import betainc
         a = n_obs / 2.0 - 1.0
         return 2 * betainc(a, a, np.clip((1.0 - np.abs(r)) / 2.0, 0, 1))
-
-    def _pearsonr(self, x, y):
-        """Pearson correlation of columns of x vs columns of y + p-values.
-
-        Host-facing equivalent of the reference's ``np.corrcoef``-based
-        helper (xmca/tools/array.py:76-88).  The pattern methods use the
-        fused device kernel instead (:func:`_pattern_kernel`).
-        """
-        if x.shape[0] != y.shape[0]:
-            raise ValueError('Time dimensions are different.')
-        xc = x - x.mean(axis=0)
-        yc = y - y.mean(axis=0)
-        xn = np.linalg.norm(xc, axis=0)
-        yn = np.linalg.norm(yc, axis=0)
-        r = _to_np(jnp.asarray(xc).T @ jnp.asarray(yc))
-        r = r / np.outer(xn, yn)
-        return r, self._corr_pvalues(r, x.shape[0])
 
     def _scatter_to_grid(self, data):
         """Re-insert NaN columns and reshape (n_vars, modes) maps to grid."""

@@ -180,8 +180,18 @@ class xMCA(MCA):
         )
         try:
             w = np.asarray((template * weight).values)
-            w = np.broadcast_to(w, self._fields_spatial_shape[k])
         except Exception:
+            return None
+        if w.shape != tuple(self._fields_spatial_shape[k]):
+            # xarray coordinate alignment (inner join) can *shrink* a
+            # DataArray weight to a subset of the grid; broadcasting
+            # the survivor would silently tile wrong weights across
+            # the field.  The reference raises for such inputs
+            # (its full-field multiply then fails to reshape,
+            # xmca/xarray.py) — fall back to the host path, which
+            # reproduces exactly that behavior.  Plain-array weights
+            # never land here: multiplying by the full-shape template
+            # already numpy-broadcasts them to the full grid.
             return None
         return w.reshape(-1)[self._no_nan_index[k]]
 

@@ -35,6 +35,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from xmca_tpu.core.linalg import ns_polar_iterate
+
 # Gram/kernel contractions feed Cholesky and Ritz extraction; on TPU the
 # default f32 matmul runs in bf16 passes (~1e-4 relative error), which is
 # larger than the rank-deficiency jitter.  Force true-f32 accumulation for
@@ -447,10 +449,7 @@ def nuclear_norm(M, n_iter=50):
     — no factorization at all.  Relative accuracy ~1e-5 after ~50
     iterations (tiny singular values converge last but contribute least).
     """
-    fro = jnp.linalg.norm(M)
-    W = M / fro
-    for _ in range(n_iter):
-        W = 1.5 * W - 0.5 * _dot_hi(W, _dot_hi(W.conj().T, W))
+    W = ns_polar_iterate(M, n_iter, dot=_dot_hi)
     return jnp.real(jnp.trace(_dot_hi(W.conj().T, M)))
 
 
@@ -469,10 +468,7 @@ def nuclear_norm_surrogate(M, n_iter=24):
     (``total_covariance`` parity) keep the exact 50-step HIGHEST-
     precision variant.
     """
-    fro = jnp.linalg.norm(M)
-    W = M / fro
-    for _ in range(n_iter):
-        W = 1.5 * W - 0.5 * (W @ (W.conj().T @ W))
+    W = ns_polar_iterate(M, n_iter)
     return jnp.real(jnp.trace(_dot_hi(W.conj().T, M)))
 
 

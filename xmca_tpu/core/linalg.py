@@ -144,6 +144,26 @@ def kernel_svd(K, compute_uv=True):
     return _kernel_svd_polar(K, compute_uv=compute_uv)
 
 
+def ns_polar_iterate(A, n_steps, dot=None):
+    """Fixed-count Newton-Schulz polar iterate of ``A``.
+
+    The recurrence ``W <- 1.5 W - 0.5 W (W^H W)`` drives every singular
+    value of the Frobenius-prescaled iterate toward 1 — the shared core
+    of the 'ns'/'ns<k>' polar variants and the nuclear-norm traces
+    (fastpath.nuclear_norm/_surrogate); the convergence-gated variant
+    reuses the same body inside a ``lax.while_loop``.  ``dot`` picks
+    the matmul (default operator precision; pass a HIGHEST-precision
+    wrapper for accuracy-critical totals).  Zero-safe: a zero matrix
+    returns zero instead of NaN-ing the prescale."""
+    if dot is None:
+        dot = jnp.matmul
+    fro = jnp.linalg.norm(A)
+    W = A / jnp.where(fro == 0, 1.0, fro)
+    for _ in range(n_steps):
+        W = 1.5 * W - 0.5 * dot(W, dot(W.conj().T, W))
+    return W
+
+
 def unitary_polar_factor(A, method='svd'):
     """Unitary polar factor of ``A`` plus its nuclear norm.
 
@@ -168,13 +188,8 @@ def unitary_polar_factor(A, method='svd'):
         W, P = jax.scipy.linalg.polar(A, side='right')
         return W, jnp.trace(P).real
     if method.startswith('ns') and method[2:].isdigit():
-        n_steps = int(method[2:])
-        fro = jnp.linalg.norm(A)
-        W = A / jnp.where(fro == 0, 1.0, fro)
-        for _ in range(n_steps):
-            W = 1.5 * W - 0.5 * (W @ (W.conj().T @ W))
-        d = jnp.real(jnp.trace(W.conj().T @ A))
-        return W, d
+        W = ns_polar_iterate(A, int(method[2:]))
+        return W, jnp.real(jnp.trace(W.conj().T @ A))
     if method == 'ns':
         # Fixed-count Newton-Schulz: 30 fused matmul steps.  Valid ONLY
         # for well-conditioned inputs (sigma_min/||A||_F well above
@@ -187,12 +202,8 @@ def unitary_polar_factor(A, method='svd'):
         # collapses those columns of R geometrically to exact zero
         # (observed at north-star scale in f32; regression test in
         # tests/unit/test_core.py).
-        fro = jnp.linalg.norm(A)
-        W = A / jnp.where(fro == 0, 1.0, fro)
-        for _ in range(30):
-            W = 1.5 * W - 0.5 * (W @ (W.conj().T @ W))
-        d = jnp.real(jnp.trace(W.conj().T @ A))
-        return W, d
+        W = ns_polar_iterate(A, 30)
+        return W, jnp.real(jnp.trace(W.conj().T @ A))
     if method == 'ns-gated':
         # Convergence-gated Newton-Schulz: iterate on the orthogonality
         # defect, bounded at 80 steps (enough for sigma_min down to

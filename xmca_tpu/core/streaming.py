@@ -36,11 +36,12 @@ _HI = jax.lax.Precision.HIGHEST
 
 StreamedMCA = namedtuple('StreamedMCA', [
     'svals',                 # (k,) host
-    'V_left', 'V_right',     # (p, k) host loadings (complex if analytic)
+    'V_left', 'V_right',     # (p_kept, k) host loadings (complex if analytic)
     'total_covariance',      # exact nuclear norm of the reduced kernel
     'total_squared_covariance',   # exact Frobenius norm squared
     'scores_left', 'scores_right',  # (n, k) DEVICE unwhitened PC series
-    'means', 'stds',         # {'left'/'right': (p,)} host column stats
+    'means', 'stds',         # {'left'/'right': (p_kept,)} host column stats
+    'keep',                  # {'left'/'right': (p,) bool} non-NaN columns
 ])
 
 
@@ -55,11 +56,23 @@ def chunks_from_array(X, chunk_size):
 
 
 @jax.jit
+def _zero_nan_cols(c):
+    """Zero every column containing a NaN — algebraically identical to
+    DROPPING it: column contributions to the Gram (``sum_j x_j x_j^T``)
+    and to the score accumulator (``sum_j x_j P_j``) are additive, and
+    a zero column contributes nothing.  This is how the streamed path
+    reproduces the in-memory/reference NaN-column semantics
+    (xmca/tools/array.py remove_nan_cols) without dynamic shapes."""
+    nan_cols = jnp.any(jnp.isnan(c), axis=0)
+    return jnp.where(nan_cols[None, :], 0, c), nan_cols
+
+
+@jax.jit
 def _accumulate(G, chunk):
     """One pass-1 update: center the chunk and accumulate its Gram,
-    plus the chunk's column means and variances (the model-state
-    statistics — predict needs them and the chunk is already on
-    device).
+    plus the chunk's column means/variances and NaN-column mask (the
+    model-state statistics — predict needs them and the chunk is
+    already on device).
 
     Chunks split the COLUMN axis, so every column's full time series is
     chunk-local and per-chunk centering is EXACT full centering.  (An
@@ -72,29 +85,32 @@ def _accumulate(G, chunk):
     making the Cholesky fail.  Caught by driving the solver on the
     reference's own sst fixture.)
     """
-    c = jnp.asarray(chunk)
+    c, nan_cols = _zero_nan_cols(jnp.asarray(chunk))
     mu = jnp.mean(c, axis=0)
     cc = c - mu
     G = G + jnp.matmul(cc, cc.T, precision=_HI)
-    return G, mu, jnp.mean(cc * cc, axis=0)
+    return G, mu, jnp.mean(cc * cc, axis=0), nan_cols
 
 
 def streamed_gram(chunks, n_obs, dtype=jnp.float32):
     """Centered temporal Gram of a streamed field (pass 1).
 
     ``chunks``: iterable of host ``(n_obs, p_chunk)`` arrays.  Returns
-    ``(G, p, mean, std)``: the exactly-centered ``(n_obs, n_obs)`` Gram
-    on device, the total variable count seen (the rank/roundoff scale
-    the jitter floor needs — roundoff of a length-p contraction grows
-    like ``eps * sqrt(p)``), and the host ``(p,)`` column means/stds.
+    ``(G, p_kept, mean, std, keep)``: the exactly-centered
+    ``(n_obs, n_obs)`` Gram on device, the kept (non-NaN) column count
+    (the rank/roundoff scale the jitter floor needs — roundoff of a
+    length-p contraction grows like ``eps * sqrt(p)``), the host
+    ``(p_kept,)`` packed column means/stds, and the full-width bool
+    keep mask.  Columns containing NaN are dropped exactly (see
+    `_zero_nan_cols`), matching the in-memory ingestion.
     """
     G = jnp.zeros((n_obs, n_obs), dtype)
     p = 0
-    means, vars_ = [], []
+    means, vars_, masks = [], [], []
     for chunk in chunks:
         chunk = np.asarray(chunk, dtype)
         p += chunk.shape[1]
-        G, mu, var = _accumulate(G, chunk)
+        G, mu, var, nan_cols = _accumulate(G, chunk)
         # keep the small per-chunk stats ON DEVICE during the loop: a
         # blocking readback here would serialize the bandwidth-bound
         # Gram pass (each tunnel round trip ~30 ms and the next chunk's
@@ -102,11 +118,19 @@ def streamed_gram(chunks, n_obs, dtype=jnp.float32):
         # has drained
         means.append(mu)
         vars_.append(var)
-    mean = (np.concatenate([np.asarray(m) for m in means])
-            if means else np.zeros(0, dtype))
-    var = (np.concatenate([np.asarray(v) for v in vars_])
-           if vars_ else np.zeros(0, dtype))
-    return G, p, mean, np.sqrt(np.maximum(var, 0.0))
+        masks.append(nan_cols.astype(dtype))
+    if not means:
+        z = np.zeros(0, dtype)
+        return G, 0, z, z, np.zeros(0, bool)
+    # ONE gather for every per-chunk statistic: a readback per chunk
+    # costs ~30 ms each on the tunnel (~196 chunks at north-star width
+    # -> ~12 s of pure latency); a device-side concat + one transfer
+    # costs two round trips total
+    flat = np.asarray(jnp.concatenate(means + vars_ + masks))
+    mean, var, nan_cols = flat[:p], flat[p:2 * p], flat[2 * p:] > 0.5
+    keep = ~nan_cols
+    mean, var = mean[keep], var[keep]
+    return G, int(keep.sum()), mean, np.sqrt(np.maximum(var, 0.0)), keep
 
 
 @partial(jax.jit, static_argnames=('complexify',))
@@ -121,7 +145,7 @@ def _project_chunk(chunk, Z, A, complexify):
     the same pass for one extra small matmul, so the result layer never
     needs the (streamed, possibly disk-resident) data again.
     """
-    c = jnp.asarray(chunk)
+    c, _ = _zero_nan_cols(jnp.asarray(chunk))   # same drops as pass 1
     cc = c - jnp.mean(c, axis=0)      # exact: columns are chunk-local
     P = jnp.matmul(cc.T, Z, precision=_HI)
     if complexify:
@@ -212,12 +236,17 @@ def streamed_mca(chunks_left, chunks_right, n_obs, n_modes, *,
         _fast.hilbert_imag_matrix(n_obs, np.dtype(dtype))
     ) if complexify else None
 
-    means, stds = {}, {}
+    means, stds, keeps = {}, {}, {}
 
     def field_gram(loader, side):
-        G, p, means[side], stds[side] = streamed_gram(
+        G, p, means[side], stds[side], keeps[side] = streamed_gram(
             loader(), n_obs, dtype
         )
+        if p == 0:
+            raise RuntimeError(
+                'the %s field has no NaN-free columns — nothing to '
+                'decompose.' % side
+            )
         # fold + jitter run under jit (eager complex ops are unsafe on
         # axon); the jitter floor scales with the CONTRACTED width p
         return _fold_jitter(
@@ -236,7 +265,7 @@ def streamed_mca(chunks_left, chunks_right, n_obs, n_modes, *,
     score_dtype = (_fast._complex_dtype(dtype) if complexify
                    else np.dtype(dtype))
 
-    def recover(loader, L_chol, T_side):
+    def recover(loader, L_chol, T_side, keep):
         Z = _recovery_weights(L_chol, T_side, H,
                               complexify=complexify).astype(dtype)
         A = _zeros_dev(shape=(n_obs, int(T_side.shape[1])),
@@ -251,16 +280,19 @@ def streamed_mca(chunks_left, chunks_right, n_obs, n_modes, *,
             parts.append(P)
         if complexify:
             A = _fold_score_hilbert(A, H)
-        return np.concatenate([_to_np(P) for P in parts], axis=0), A
+        Vf = np.concatenate([_to_np(P) for P in parts], axis=0)
+        # dropped (NaN) columns came through as zero rows — pack them
+        # out so the loadings match the in-memory kept-column layout
+        return (Vf if keep.all() else Vf[keep]), A
 
-    V_left, S_left = recover(chunks_left, La, U)
+    V_left, S_left = recover(chunks_left, La, U, keeps['left'])
     if bivariate:
-        V_right, S_right = recover(chunks_right, Lb, V)
+        V_right, S_right = recover(chunks_right, Lb, V, keeps['right'])
     else:
         V_right, S_right = V_left, S_left
     totals = np.asarray(totals)
     return StreamedMCA(
         np.asarray(s), V_left, V_right,
         float(totals[0]), float(totals[1]), S_left, S_right,
-        means, stds,
+        means, stds, keeps,
     )
