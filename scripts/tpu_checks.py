@@ -150,8 +150,10 @@ def main():
 
     # ---- 7. out-of-core streamed COMPLEX solve: the analytic fold,
     # Cholesky reduction and score fold all run on complex device
-    # arrays inside the streaming pipeline's jitted helpers
+    # arrays inside the streaming pipeline's jitted helpers; NaN
+    # columns exercise the on-device zero-drop (_zero_nan_cols)
     data = rng.standard_normal((256, 2000)).astype(np.float32)
+    data[:, [17, 900]] = np.nan
 
     def chunks():
         for s in range(0, 2000, 512):
@@ -164,8 +166,9 @@ def main():
     ms.rotate(4)
     eofs = ms.eofs(4)['left']
     pcs = ms.pcs(4)['left']
-    check('streamed complex out-of-core solve on-chip',
-          np.isfinite(np.abs(eofs)).all()
+    check('streamed complex out-of-core solve on-chip (NaN cols dropped)',
+          np.isnan(np.abs(eofs[[17, 900]])).all()
+          and np.isfinite(np.abs(np.delete(eofs, [17, 900], 0))).all()
           and np.isfinite(np.abs(pcs)).all()
           and np.isfinite(np.asarray(ms.singular_values(4))).all())
 
