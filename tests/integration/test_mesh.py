@@ -193,3 +193,80 @@ def test_space_sharded_analytic_rotated_variance(big_xy):
 
     assert bool(conv) and bool(conv_sh)
     assert_allclose(np.asarray(var_sh), np.asarray(var), rtol=1e-9)
+
+
+@requires_8dev
+def test_space_sharded_streamed_solve_matches_unsharded(xy):
+    """Out-of-core + multi-chip compose: a streamed solve with every
+    chunk column-sharded over the mesh's 'space' axis must equal the
+    unsharded streamed solve — including NaN-column drops, odd chunk
+    widths (pad columns are zero, contributing nothing), and the
+    analytic (complex) Gram fold."""
+    from xmca_tpu.core.streaming import streamed_mca, chunks_from_array
+
+    Xl, Xr = (x.copy() for x in xy)
+    Xl[:, 5] = np.nan
+    Xr[:, [2, 40]] = np.nan
+
+    def loaders(X, chunk):
+        return lambda: chunks_from_array(X, chunk)
+
+    for complexify in (False, True):
+        base = streamed_mca(
+            loaders(Xl, 64), loaders(Xr, 48), Xl.shape[0], 5,
+            complexify=complexify, dtype=jnp.float64,
+        )
+        mesh = make_mesh(ensemble=1, space=8)
+        # chunk width 13: every chunk padded (13 % 8 != 0), plus a
+        # ragged tail
+        sh = streamed_mca(
+            loaders(Xl, 13), loaders(Xr, 13), Xl.shape[0], 5,
+            complexify=complexify, dtype=jnp.float64, mesh=mesh,
+        )
+        assert_allclose(sh.svals, base.svals, rtol=1e-9)
+        assert sh.total_covariance == pytest.approx(
+            base.total_covariance, rel=1e-9)
+        for k in ('left', 'right'):
+            assert (sh.keep[k] == base.keep[k]).all()
+            assert_allclose(sh.means[k], base.means[k], atol=1e-12)
+        assert_allclose(np.abs(sh.V_left), np.abs(base.V_left),
+                        atol=1e-8)
+        assert_allclose(np.abs(sh.V_right), np.abs(base.V_right),
+                        atol=1e-8)
+        assert_allclose(np.abs(np.asarray(sh.scores_left)),
+                        np.abs(np.asarray(base.scores_left)), atol=1e-8)
+
+
+@requires_8dev
+def test_space_sharded_streamed_public_api(tmp_path):
+    """from_chunks + set_solver(mesh with a space axis) routes the
+    streamed passes through the sharded path and matches the
+    single-device public result."""
+    from xmca_tpu.array import MCA
+
+    rng = np.random.default_rng(7)
+    X = {k: rng.standard_normal((64, 30 * 11)) for k in ('l', 'r')}
+
+    def loader(A):
+        def chunks():
+            for s in range(0, A.shape[1], 37):
+                yield A[:, s:s + 37]
+        return chunks
+
+    def build(mesh):
+        m = MCA.from_chunks(
+            loader(X['l']), loader(X['r']),
+            n_observations=64, left_shape=(30, 11),
+            right_shape=(30, 11),
+        )
+        m.set_solver(truncate=4, mesh=mesh)
+        m.solve()
+        return m
+
+    ms = build(make_mesh(ensemble=1, space=8))
+    mb = build(None)
+    assert_allclose(ms.singular_values(), mb.singular_values(),
+                    rtol=1e-9)
+    es, eb = ms.eofs(4, rotated=False), mb.eofs(4, rotated=False)
+    for k in ('left', 'right'):
+        assert_allclose(np.abs(es[k]), np.abs(eb[k]), atol=1e-8)

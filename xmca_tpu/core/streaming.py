@@ -22,6 +22,11 @@ Peak device memory is one chunk plus n x n state — fields of any width
 solve on a single chip; the loaders may read from disk (memmap, zarr,
 netCDF) so host RAM is not a bound either.  Accuracy matches the
 in-memory fast path to float-roundoff (tests/unit/test_streaming.py).
+
+With a device mesh carrying a ``'space'`` axis, every chunk is
+column-sharded across the mesh (GSPMD inserts the psum over ICI for
+both contractions): out-of-core and multi-chip compose, so chunks can
+be as wide as the mesh's aggregate HBM.
 """
 from collections import namedtuple
 from functools import partial
@@ -29,6 +34,7 @@ from functools import partial
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec
 
 from xmca_tpu.core import fastpath as _fast
 
@@ -53,6 +59,50 @@ def chunks_from_array(X, chunk_size):
     """
     for s in range(0, X.shape[1], chunk_size):
         yield X[:, s:s + chunk_size]
+
+
+def _space_shards(mesh):
+    """Shard count of a mesh's 'space' axis (1 = unsharded)."""
+    if mesh is None or 'space' not in mesh.axis_names:
+        return 1
+    return mesh.shape['space']
+
+
+def _put_chunk(chunk, dtype, mesh):
+    """Stage one host chunk for the streamed kernels.
+
+    Without a mesh the host array is handed to jit directly (one
+    upload).  With a mesh carrying a ``'space'`` axis the chunk's
+    columns are zero-padded to the shard count and placed column-
+    sharded — GSPMD then turns the Gram/projection contractions into
+    per-device partials + a ``psum`` over ICI.  Zero pad columns
+    contribute nothing to any contraction (the same additive-column
+    algebra as the NaN drop); callers slice them back out of the tiny
+    per-chunk stats/loadings host-side.  Returns
+    ``(staged_chunk, padded_width, true_width)``."""
+    chunk = np.asarray(chunk, dtype)
+    w = chunk.shape[1]
+    n_shards = _space_shards(mesh)
+    pad = (-w) % n_shards
+    if pad:
+        chunk = np.pad(chunk, ((0, 0), (0, pad)))
+    if n_shards > 1:
+        chunk = jax.device_put(
+            chunk, NamedSharding(mesh, PartitionSpec(None, 'space'))
+        )
+    return chunk, w + pad, w
+
+
+def _unpad_select(widths):
+    """Host index vector selecting true columns from padded-width
+    concatenated per-chunk stats (identity when nothing was padded)."""
+    if all(wp == wt for wp, wt in widths):
+        return None
+    sel, off = [], 0
+    for wp, wt in widths:
+        sel.append(np.arange(off, off + wt))
+        off += wp
+    return np.concatenate(sel)
 
 
 @jax.jit
@@ -92,7 +142,7 @@ def _accumulate(G, chunk):
     return G, mu, jnp.mean(cc * cc, axis=0), nan_cols
 
 
-def streamed_gram(chunks, n_obs, dtype=jnp.float32):
+def streamed_gram(chunks, n_obs, dtype=jnp.float32, mesh=None):
     """Centered temporal Gram of a streamed field (pass 1).
 
     ``chunks``: iterable of host ``(n_obs, p_chunk)`` arrays.  Returns
@@ -102,14 +152,17 @@ def streamed_gram(chunks, n_obs, dtype=jnp.float32):
     length-p contraction grows like ``eps * sqrt(p)``), the host
     ``(p_kept,)`` packed column means/stds, and the full-width bool
     keep mask.  Columns containing NaN are dropped exactly (see
-    `_zero_nan_cols`), matching the in-memory ingestion.
+    `_zero_nan_cols`), matching the in-memory ingestion.  With a
+    ``mesh`` carrying a ``'space'`` axis, each chunk is column-sharded
+    and the Gram comes out of per-device partial matmuls + psum
+    (`_put_chunk`).
     """
     G = jnp.zeros((n_obs, n_obs), dtype)
-    p = 0
+    widths = []
     means, vars_, masks = [], [], []
     for chunk in chunks:
-        chunk = np.asarray(chunk, dtype)
-        p += chunk.shape[1]
+        chunk, wp, wt = _put_chunk(chunk, dtype, mesh)
+        widths.append((wp, wt))
         G, mu, var, nan_cols = _accumulate(G, chunk)
         # keep the small per-chunk stats ON DEVICE during the loop: a
         # blocking readback here would serialize the bandwidth-bound
@@ -127,7 +180,11 @@ def streamed_gram(chunks, n_obs, dtype=jnp.float32):
     # -> ~12 s of pure latency); a device-side concat + one transfer
     # costs two round trips total
     flat = np.asarray(jnp.concatenate(means + vars_ + masks))
-    mean, var, nan_cols = flat[:p], flat[p:2 * p], flat[2 * p:] > 0.5
+    pp = sum(wp for wp, _ in widths)
+    mean, var, nan_cols = flat[:pp], flat[pp:2 * pp], flat[2 * pp:] > 0.5
+    sel = _unpad_select(widths)
+    if sel is not None:
+        mean, var, nan_cols = mean[sel], var[sel], nan_cols[sel]
     keep = ~nan_cols
     mean, var = mean[keep], var[keep]
     return G, int(keep.sum()), mean, np.sqrt(np.maximum(var, 0.0)), keep
@@ -203,7 +260,7 @@ def _fold_score_hilbert(A, H):
 
 def streamed_mca(chunks_left, chunks_right, n_obs, n_modes, *,
                  complexify=False, key=None, n_iter=12,
-                 jitter_rel=1e-6, dtype=jnp.float32):
+                 jitter_rel=1e-6, dtype=jnp.float32, mesh=None):
     """Truncated (complex) MCA of two streamed fields.
 
     Parameters
@@ -215,6 +272,11 @@ def streamed_mca(chunks_left, chunks_right, n_obs, n_modes, *,
     n_modes : leading modes to extract.
     complexify : analytic-signal (Hilbert) MCA via the Gram fold — the
         complex field is never materialized, streamed or otherwise.
+    mesh : jax.sharding.Mesh with a ``'space'`` axis, optional — each
+        chunk is column-sharded across the mesh so both streamed passes
+        run as per-device partial matmuls + an XLA psum over ICI:
+        out-of-core AND multi-chip at once (chunks can be as wide as
+        the mesh's aggregate HBM allows).
 
     Returns
     -------
@@ -240,7 +302,7 @@ def streamed_mca(chunks_left, chunks_right, n_obs, n_modes, *,
 
     def field_gram(loader, side):
         G, p, means[side], stds[side], keeps[side] = streamed_gram(
-            loader(), n_obs, dtype
+            loader(), n_obs, dtype, mesh=mesh
         )
         if p == 0:
             raise RuntimeError(
@@ -272,15 +334,18 @@ def streamed_mca(chunks_left, chunks_right, n_obs, n_modes, *,
                        dtype=np.dtype(score_dtype).str)
         parts = []
         for c in loader():
-            P, A = _project_chunk(np.asarray(c, dtype), Z, A,
-                                  complexify)
+            c, _, wt = _put_chunk(c, dtype, mesh)
+            P, A = _project_chunk(c, Z, A, complexify)
             # hold the small (p_chunk, k) device results until the loop
             # drains — a blocking readback per chunk would serialize
-            # the projection pass on tunneled backends
-            parts.append(P)
+            # the projection pass on tunneled backends (pad rows are
+            # sliced off at materialization)
+            parts.append((P, wt))
         if complexify:
             A = _fold_score_hilbert(A, H)
-        Vf = np.concatenate([_to_np(P) for P in parts], axis=0)
+        Vf = np.concatenate(
+            [_to_np(P)[:wt] for P, wt in parts], axis=0
+        )
         # dropped (NaN) columns came through as zero rows — pack them
         # out so the loadings match the in-memory kept-column layout
         return (Vf if keep.all() else Vf[keep]), A
