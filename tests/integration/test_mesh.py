@@ -238,7 +238,7 @@ def test_space_sharded_streamed_solve_matches_unsharded(xy):
 
 
 @requires_8dev
-def test_space_sharded_streamed_public_api(tmp_path):
+def test_space_sharded_streamed_public_api():
     """from_chunks + set_solver(mesh with a space axis) routes the
     streamed passes through the sharded path and matches the
     single-device public result."""

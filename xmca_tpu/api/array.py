@@ -836,15 +836,14 @@ class MCA:
         dtype = (np.dtype('float64') if jax.config.jax_enable_x64
                  else np.dtype('float32'))
         loaders = self._chunk_loaders
-        mesh = self._ensemble_mesh
-        if mesh is not None and 'space' not in mesh.axis_names:
-            mesh = None             # ensemble-only meshes don't shard chunks
         res = streamed_mca(
             loaders['left'], loaders.get('right'),
             self._n_observations['left'], n_modes,
             complexify=complexify,
             key=jax.random.PRNGKey(self._solver_seed),
-            n_iter=self._subspace_iters, dtype=dtype, mesh=mesh,
+            n_iter=self._subspace_iters, dtype=dtype,
+            # ensemble-only meshes leave chunks unsharded (_space_shards)
+            mesh=self._ensemble_mesh,
         )
 
         self._field_means = {k: res.means[k] for k in self._keys}
