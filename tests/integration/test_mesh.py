@@ -233,8 +233,13 @@ def test_space_sharded_streamed_solve_matches_unsharded(xy):
                         atol=1e-8)
         assert_allclose(np.abs(sh.V_right), np.abs(base.V_right),
                         atol=1e-8)
-        assert_allclose(np.abs(np.asarray(sh.scores_left)),
-                        np.abs(np.asarray(base.scores_left)), atol=1e-8)
+        # complex device arrays: split real/imag for materialization
+        # (CLAUDE.md transfer rule; harmless on CPU, fatal on axon)
+        def _abs_np(a):
+            return np.abs(np.asarray(jnp.real(a))
+                          + 1j * np.asarray(jnp.imag(a)))
+        assert_allclose(_abs_np(sh.scores_left),
+                        _abs_np(base.scores_left), atol=1e-8)
 
 
 @requires_8dev
