@@ -77,6 +77,42 @@ def test_bootstrapping_block_divisibility(solved, sst):
         )
 
 
+def test_bootstrapping_honors_ensemble_tol(sst, prcp, monkeypatch):
+    """set_solver(ensemble_tol=...) governs the bootstrap rotation
+    tolerance (same Monte-Carlo argument as rule_n), and a loose
+    tolerance stays statistically consistent with the tight default."""
+    from xmca_tpu.stats import significance as _sig
+
+    seen = {}
+    real = _sig.bootstrap_spectra
+
+    def spy(*args, **kwargs):
+        seen['tol'] = kwargs.get('tol')
+        return real(*args, **kwargs)
+
+    m = xMCA(sst, prcp)
+    m.solve()
+    m.rotate(4)
+
+    import xmca_tpu.api.array as _arr
+    monkeypatch.setattr(_arr._sig, 'bootstrap_spectra', spy)
+    bs_tight = m.bootstrapping(4, 4, disable_progress=True, seed=3)
+    assert seen['tol'] == pytest.approx(1e-8)      # CPU auto default
+
+    m.set_solver(ensemble_tol=1e-3)
+    bs_loose = m.bootstrapping(4, 4, disable_progress=True, seed=3)
+    assert seen['tol'] == pytest.approx(1e-3)
+    loose = np.asarray(bs_loose)
+    tight = np.asarray(bs_tight)
+    assert np.isfinite(loose).all()
+    # same seed -> same resamples; individual runs stop rotating at
+    # different points (per-entry shifts up to ~20% are expected), but
+    # the ensemble STATISTICS the user consumes stay consistent
+    mean_rel = np.abs(loose.mean(axis=1) - tight.mean(axis=1)) \
+        / tight.mean(axis=1)
+    assert mean_rel.max() < 0.15
+
+
 def test_rule_n_shapes_and_scaling(solved):
     rn = np.asarray(solved.rule_n(4, seed=7))
     assert rn.shape[1] == 4

@@ -408,15 +408,18 @@ class MCA:
             tests/integration/test_significance.py.
         ensemble_tol : float, optional
             Convergence tolerance of the rotation inside Monte-Carlo
-            NOISE ensembles (Rule-N).  Default (None) is automatic:
-            1e-4 on the TPU generated-surrogate path, the reference's
-            1e-8 elsewhere.  The null-distribution quantile is a
-            Monte-Carlo estimate with ~1/sqrt(2 N) relative error
-            (~6% at N=125) — rotating each surrogate to 1e-4 instead
-            of the f32 floor (1.2e-5) halves the per-run cost while
-            shifting q95 by <0.3% (measured at north-star scale,
-            benchmarks/RESULTS.md).  The analysis' own rotation and
-            bootstrap ensembles (real data) are unaffected.
+            ensembles (Rule-N and bootstrapping).  Default (None) is
+            automatic: 1e-4 on the TPU paths (generated-surrogate
+            Rule-N, any bootstrap), the reference's 1e-8 elsewhere.
+            Ensemble quantiles are Monte-Carlo estimates with
+            ~1/sqrt(2 N) relative error (~6% at N=125) — rotating each
+            surrogate to 1e-4 instead of the f32 floor (1.2e-5) halves
+            the per-run cost while shifting q95 by <0.3% (measured at
+            north-star scale, benchmarks/RESULTS.md).  Bootstrap runs
+            keep the convergence-gated polar either way (real-data
+            criteria can be ill-conditioned; only the varimax stopping
+            point loosens).  The analysis' own rotation
+            (``rotate(tol=...)``) is unaffected.
         """
         if method is not None:
             if method not in ('gram', 'svd'):
@@ -1701,6 +1704,15 @@ class MCA:
             seed = int(np.random.randint(0, 2 ** 31 - 1))
 
         n_mode_iters = min(n_modes, n_modes_max)
+        tol = self._ensemble_tol
+        if tol is None:
+            # auto: same Monte-Carlo argument as rule_n (the bootstrap
+            # quantile cannot resolve rotation accuracy below its own
+            # ~1/sqrt(2 N) noise); the CPU/mesh-parity default stays at
+            # the reference's 1e-8.  Robustness on real-data criteria
+            # comes from the convergence-gated polar, which bootstrap
+            # keeps at any tolerance.
+            tol = 1e-4 if jax.default_backend() == 'tpu' else 1e-8
         progress, close = self._progress_bar(
             n_runs * (1 if strategy == 'standard' else n_mode_iters),
             disable_progress,
@@ -1710,7 +1722,7 @@ class MCA:
                 var_surr, n_mode_iters, n_runs, strategy, axis, on_left,
                 on_right, block_size, replace, complexify, extend,
                 period, is_rotated, n_rot, power, n_modes_max, seed,
-                progress,
+                progress, tol,
             )
         finally:
             close()
@@ -1719,7 +1731,7 @@ class MCA:
     def _bootstrap_modes(self, var_surr, n_mode_iters, n_runs, strategy,
                          axis, on_left, on_right, block_size, replace,
                          complexify, extend, period, is_rotated, n_rot,
-                         power, n_modes_max, seed, progress):
+                         power, n_modes_max, seed, progress, tol=1e-8):
         for mode in range(n_mode_iters):
             X_surr = self._get_X_dev(real=True)
             if strategy == 'iterative':
@@ -1737,7 +1749,7 @@ class MCA:
                 axis=axis, on_left=on_left, on_right=on_right,
                 block_size=block_size, replace=replace,
                 complexify=complexify, extend=extend, period=period,
-                rotated=is_rotated, n_rot=n_rot, power=power,
+                rotated=is_rotated, n_rot=n_rot, power=power, tol=tol,
                 method=self._solver_method, seed=seed + mode,
                 batch_size=self._ensemble_batch_size,
                 mesh=self._ensemble_mesh,
