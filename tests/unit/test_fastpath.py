@@ -164,6 +164,33 @@ def test_analytic_gram_path(xy):
     assert_allclose(np.asarray(var_a), np.asarray(var_e), rtol=2e-3)
 
 
+def test_fast_solve_truncated_totals_analytic(xy):
+    """Fold-based truncated complexified solve == materialized-Z solve."""
+    from xmca_tpu.core.preprocess import analytic_signal
+    from xmca_tpu.core.fastpath import (
+        hilbert_imag_matrix, fast_solve_truncated_totals,
+        fast_solve_truncated_totals_analytic)
+    Xl, Xr = xy
+    n = Xl.shape[0]
+    H = jnp.asarray(hilbert_imag_matrix(n, np.float64))
+    Zl = analytic_signal(jnp.asarray(Xl))
+    Zr = analytic_signal(jnp.asarray(Xr))
+    key = jax.random.PRNGKey(9)
+    s_z, Vl_z, Vr_z, tc_z, ts_z = fast_solve_truncated_totals(
+        Zl, Zr, key, n_modes=8, n_iter=12
+    )
+    s_a, Vl_a, Vr_a, tc_a, ts_a = fast_solve_truncated_totals_analytic(
+        jnp.asarray(Xl), jnp.asarray(Xr), H, key, n_modes=8, n_iter=12
+    )
+    assert_allclose(np.asarray(s_a), np.asarray(s_z), rtol=1e-8)
+    assert float(tc_a) == pytest.approx(float(tc_z), rel=1e-6)
+    assert float(ts_a) == pytest.approx(float(ts_z), rel=1e-8)
+    # identical subspace iterates up to roundoff: vectors match without
+    # any phase alignment
+    assert np.abs(np.asarray(Vl_a) - np.asarray(Vl_z)).max() < 1e-6
+    assert np.abs(np.asarray(Vr_a) - np.asarray(Vr_z)).max() < 1e-6
+
+
 def test_rule_n_fast_complex_uses_analytic(sst, prcp):
     """Fast complex Rule N (analytic Gram path) is statistically sane."""
     from xmca_tpu.xarray import xMCA

@@ -760,6 +760,20 @@ class MCA:
         self._R_dev_cache = None
         self._analysis['is_truncated_at'] = len(singular_values)
 
+    def _fold_hilbert_operator(self, n_obs, field_dtype):
+        """The real Hilbert matmul operator H, when the analytic fold
+        applies to the current solve (complexified, no boundary
+        extension, time axis within the matmul-Hilbert range) — else
+        None."""
+        from xmca_tpu.core.preprocess import _HILBERT_MATMUL_MAX_N
+        from xmca_tpu.core import fastpath as _fast
+        if not self._analysis['is_complex'] or self._analysis['extend']:
+            return None
+        if n_obs > _HILBERT_MATMUL_MAX_N:
+            return None
+        real_dtype = np.finfo(np.dtype(field_dtype)).dtype
+        return jnp.asarray(_fast.hilbert_imag_matrix(n_obs, real_dtype))
+
     def _solve_truncated(self, fields):
         """Leading-k solve via the matmul-only subspace pipeline.
 
@@ -799,9 +813,23 @@ class MCA:
                     Vs,
                     (float(s_full.sum()), float((s_full ** 2).sum())))
 
-        s, Vl, Vr, total_cov, total_sq = _fast.fast_solve_truncated_totals(
-            Xl, Xr, key, n_modes=k, n_iter=self._subspace_iters
-        )
+        hilbert_H = self._fold_hilbert_operator(n_obs, Xl.dtype)
+        if hilbert_H is not None:
+            # complexified solve WITHOUT boundary extension: the
+            # analytic signal is ``Z = X + i H X`` with this exact H,
+            # so the data-sized contractions can run on the real parts
+            # (one HIGHEST-precision real Gram + the n x n analytic
+            # fold instead of a 4x-cost complex Gram)
+            s, Vl, Vr, total_cov, total_sq = \
+                _fast.fast_solve_truncated_totals_analytic(
+                    jnp.real(Xl), jnp.real(Xr), hilbert_H, key,
+                    n_modes=k, n_iter=self._subspace_iters
+                )
+        else:
+            s, Vl, Vr, total_cov, total_sq = \
+                _fast.fast_solve_truncated_totals(
+                    Xl, Xr, key, n_modes=k, n_iter=self._subspace_iters
+                )
         # Vl/Vr stay on device (complex device->host transfers are split
         # and deferred to the lazy `_V` materialization); the two scalar
         # totals come back in ONE stacked transfer instead of two

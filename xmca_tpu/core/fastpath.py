@@ -804,3 +804,31 @@ def fast_solve_truncated_totals(Xl, Xr, key, n_modes, n_iter=8,
     total_cov = nuclear_norm(M)
     total_sq = jnp.sum(jnp.abs(M) ** 2)
     return s, V_left, V_right, total_cov, total_sq
+
+
+@partial(jax.jit, static_argnames=('n_modes', 'n_iter'))
+def fast_solve_truncated_totals_analytic(Xl, Xr, H, key, n_modes,
+                                         n_iter=8, jitter_rel=1e-6):
+    """Truncated solve of the COMPLEXIFIED fields from real data.
+
+    Same contract as :func:`fast_solve_truncated_totals` applied to
+    ``analytic(Xl), analytic(Xr)``, but the data-sized contractions run
+    on the *real* fields: the complexified temporal Grams come from the
+    analytic fold (``G_Z = A G_X A^H`` — n x n algebra on one real
+    HIGHEST-precision Gram instead of a 4x-cost complex Gram), and the
+    spatial vectors from the stacked real projection
+    (:func:`_analytic_spatial_vectors`).  Exact algebra — the public
+    ``solve(complexify=True)`` path uses it whenever the matmul-Hilbert
+    operator ``H`` exists (no boundary extension, n_obs within the
+    matmul-Hilbert range); equivalence to the materialized-Z pipeline
+    is pinned in tests/unit/test_fastpath.py.
+    """
+    M, La, Lb = analytic_reduced_kernel(Xl, Xr, H, jitter_rel)
+    U, s, V = subspace_svd(M, key, k=n_modes, n_iter=n_iter)
+    Zl = jax.scipy.linalg.solve_triangular(La.conj().T, U, lower=False)
+    Zr = jax.scipy.linalg.solve_triangular(Lb.conj().T, V, lower=False)
+    V_left = _analytic_spatial_vectors(Xl, H, Zl)
+    V_right = _analytic_spatial_vectors(Xr, H, Zr)
+    total_cov = nuclear_norm(M)
+    total_sq = jnp.sum(jnp.abs(M) ** 2)
+    return s, V_left, V_right, total_cov, total_sq
