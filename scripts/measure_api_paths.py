@@ -113,6 +113,27 @@ def main():
           lambda: m.reconstructed_fields(mode=5))
     stage('predict(16 new steps)',
           lambda: m.predict(left=new_left, n=n_rot))
+
+    # warm re-solve: the fold-based truncated complexified solve
+    # (complexify is idempotent on the resident complex field — the
+    # operator consumes the real part)
+    t0 = time.perf_counter()
+    m.solve(complexify=True)
+    print('%-38s %8.3f s' % ('solve(complexify=True) [warm]',
+                             time.perf_counter() - t0), flush=True)
+    m.rotate(n_rot)
+
+    # bootstrap ensemble cadence under the loose auto-tolerance
+    n_boot = 24 if on_tpu else 4
+    m.bootstrapping(n_boot, n_modes=n_rot, block_size=8,
+                    disable_progress=True, seed=5)      # warm/compile
+    t0 = time.perf_counter()
+    m.bootstrapping(n_boot, n_modes=n_rot, block_size=8,
+                    disable_progress=True, seed=6)
+    wall = time.perf_counter() - t0
+    print('%-38s %8.3f s  (%.1f ms/run)' % (
+        'bootstrapping(%d, standard)' % n_boot, wall,
+        1e3 * wall / n_boot), flush=True)
     print('done', flush=True)
 
 
