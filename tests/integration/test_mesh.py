@@ -243,6 +243,32 @@ def test_space_sharded_streamed_solve_matches_unsharded(xy):
 
 
 @requires_8dev
+def test_space_sharded_fold_solve_public_api():
+    """Public complexified truncated solve (analytic-fold path) under a
+    space-sharded mesh matches the unsharded result.  (Synthetic wide
+    fields: the sharded resident solve needs the packed space dimension
+    divisible by the mesh's space axis.)"""
+    from xmca_tpu.array import MCA
+
+    rng = np.random.default_rng(3)
+    n, lat, lon = 48, 8, 16
+    left = rng.standard_normal((n, lat, lon))
+    right = rng.standard_normal((n, lat, lon))
+
+    def build(mesh):
+        m = MCA(left, right)
+        m.set_solver(truncate=5, mesh=mesh)
+        m.solve(complexify=True)
+        m.rotate(4)
+        return m
+
+    ms = build(make_mesh(ensemble=1, space=8))
+    mb = build(None)
+    assert_allclose(ms.singular_values(5), mb.singular_values(5),
+                    rtol=1e-7)
+    assert_allclose(ms.variance(4), mb.variance(4), rtol=1e-5)
+
+
 def test_space_sharded_streamed_public_api():
     """from_chunks + set_solver(mesh with a space axis) routes the
     streamed passes through the sharded path and matches the
