@@ -123,6 +123,24 @@ def main():
           and surr.shape[1] >= 14,
           f'(kept {surr.shape[1]}/16 runs)')
 
+    # ---- 4b. the fold-based truncated complexified solve (the path
+    # check 4 just drove) must equal the materialized-Z pipeline
+    from xmca_tpu.core import fastpath as _fast
+    from xmca_tpu.core.preprocess import complexify as _cplx
+    Ad = jnp.asarray(A.reshape(512, -1))
+    Bd = jnp.asarray(B.reshape(512, -1))
+    Ad = Ad - jnp.mean(Ad, axis=0)
+    Bd = Bd - jnp.mean(Bd, axis=0)
+    H = jnp.asarray(_fast.hilbert_imag_matrix(512, np.float32))
+    key = jax.random.PRNGKey(2)
+    s_a = _fast.fast_solve_truncated_totals_analytic(
+        Ad, Bd, H, key, n_modes=6, n_iter=12)[0]
+    s_z = _fast.fast_solve_truncated_totals(
+        _cplx(Ad), _cplx(Bd), key, n_modes=6, n_iter=12)[0]
+    err = float(jnp.max(jnp.abs(s_a - s_z)) / jnp.max(s_z))
+    check('analytic-fold truncated solve == materialized-Z solve',
+          err < 1e-3, f'(rel {err:.2e})')
+
     # ---- 5. fused result kernels on-chip: rotated EOFs/PCs, patterns,
     # reconstruction, predict all consume the device-resident basis
     eofs = m.eofs(4)
