@@ -772,7 +772,7 @@ class MCA:
         if n_obs > _HILBERT_MATMUL_MAX_N:
             return None
         real_dtype = np.finfo(np.dtype(field_dtype)).dtype
-        return jnp.asarray(_fast.hilbert_imag_matrix(n_obs, real_dtype))
+        return _fast.hilbert_imag_matrix_device(n_obs, real_dtype)
 
     def _solve_truncated(self, fields):
         """Leading-k solve via the matmul-only subspace pipeline.
@@ -1759,7 +1759,7 @@ class MCA:
     def _bootstrap_modes(self, var_surr, n_mode_iters, n_runs, strategy,
                          axis, on_left, on_right, block_size, replace,
                          complexify, extend, period, is_rotated, n_rot,
-                         power, n_modes_max, seed, progress, tol=1e-8):
+                         power, n_modes_max, seed, progress, tol):
         for mode in range(n_mode_iters):
             X_surr = self._get_X_dev(real=True)
             if strategy == 'iterative':

@@ -139,6 +139,26 @@ def hilbert_imag_matrix(n, dtype=np.float32):
 
 
 _HILBERT_CACHE = {}
+_HILBERT_DEVICE_CACHE = {}
+
+
+def hilbert_imag_matrix_device(n, dtype=np.float32):
+    """Device-resident :func:`hilbert_imag_matrix`, cached per
+    (length, dtype, backend).
+
+    Every consumer (main solve, complexify, ensembles, streaming) must
+    share ONE device buffer: re-uploading H costs an n^2-float host
+    transfer per call (~0.35 s for n=2000 on a tunneled TPU link) and
+    would change the argument identity seen by cached jitted pipelines.
+    """
+    key = (int(n), np.dtype(dtype).str, jax.default_backend())
+    if key not in _HILBERT_DEVICE_CACHE:
+        while len(_HILBERT_DEVICE_CACHE) >= 8:
+            _HILBERT_DEVICE_CACHE.pop(next(iter(_HILBERT_DEVICE_CACHE)))
+        _HILBERT_DEVICE_CACHE[key] = jnp.asarray(
+            hilbert_imag_matrix(int(n), dtype)
+        )
+    return _HILBERT_DEVICE_CACHE[key]
 
 
 def _analytic_fold(G, H):
@@ -542,6 +562,15 @@ def fast_rotated_variance(Xl, Xr, key, n_rot, power=1, tol=1e-8,
 
 
 @partial(jax.jit, static_argnames=('n_modes', 'n_iter'))
+def _kernel_svd_recovery(M, La, Lb, key, n_modes, n_iter):
+    """Shared tail of every truncated solve: subspace SVD of the reduced
+    kernel + triangular recovery of the temporal weight stacks."""
+    U, s, V = subspace_svd(M, key, k=n_modes, n_iter=n_iter)
+    Zl = jax.scipy.linalg.solve_triangular(La.conj().T, U, lower=False)
+    Zr = jax.scipy.linalg.solve_triangular(Lb.conj().T, V, lower=False)
+    return s, Zl, Zr
+
+
 def fast_solve_truncated(Xl, Xr, key, n_modes, n_iter=8, jitter_rel=1e-6):
     """Leading-n_modes MCA solve (svals + spatial vectors), matmul-only.
 
@@ -550,10 +579,7 @@ def fast_solve_truncated(Xl, Xr, key, n_modes, n_iter=8, jitter_rel=1e-6):
     TPU.
     """
     M, La, Lb = reduced_kernel(Xl, Xr, jitter_rel)
-    dof = Xl.shape[0] - 1
-    U, s, V = subspace_svd(M, key, k=n_modes, n_iter=n_iter)
-    Zl = jax.scipy.linalg.solve_triangular(La.conj().T, U, lower=False)
-    Zr = jax.scipy.linalg.solve_triangular(Lb.conj().T, V, lower=False)
+    s, Zl, Zr = _kernel_svd_recovery(M, La, Lb, key, n_modes, n_iter)
     V_left = Xl.conj().T @ Zl
     V_right = Xr.conj().T @ Zr
     return s, V_left, V_right
@@ -796,9 +822,7 @@ def fast_solve_truncated_totals(Xl, Xr, key, n_modes, n_iter=8,
     (s, V_left, V_right, total_cov, total_sq).
     """
     M, La, Lb = reduced_kernel(Xl, Xr, jitter_rel)
-    U, s, V = subspace_svd(M, key, k=n_modes, n_iter=n_iter)
-    Zl = jax.scipy.linalg.solve_triangular(La.conj().T, U, lower=False)
-    Zr = jax.scipy.linalg.solve_triangular(Lb.conj().T, V, lower=False)
+    s, Zl, Zr = _kernel_svd_recovery(M, La, Lb, key, n_modes, n_iter)
     V_left = Xl.conj().T @ Zl
     V_right = Xr.conj().T @ Zr
     total_cov = nuclear_norm(M)
@@ -824,9 +848,7 @@ def fast_solve_truncated_totals_analytic(Xl, Xr, H, key, n_modes,
     is pinned in tests/unit/test_fastpath.py.
     """
     M, La, Lb = analytic_reduced_kernel(Xl, Xr, H, jitter_rel)
-    U, s, V = subspace_svd(M, key, k=n_modes, n_iter=n_iter)
-    Zl = jax.scipy.linalg.solve_triangular(La.conj().T, U, lower=False)
-    Zr = jax.scipy.linalg.solve_triangular(Lb.conj().T, V, lower=False)
+    s, Zl, Zr = _kernel_svd_recovery(M, La, Lb, key, n_modes, n_iter)
     V_left = _analytic_spatial_vectors(Xl, H, Zl)
     V_right = _analytic_spatial_vectors(Xr, H, Zr)
     total_cov = nuclear_norm(M)

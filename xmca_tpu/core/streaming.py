@@ -294,9 +294,8 @@ def streamed_mca(chunks_left, chunks_right, n_obs, n_modes, *,
         key = jax.random.PRNGKey(0)
     bivariate = chunks_right is not None
     # ONE device-resident Hilbert operator for both fields
-    H = jnp.asarray(
-        _fast.hilbert_imag_matrix(n_obs, np.dtype(dtype))
-    ) if complexify else None
+    H = _fast.hilbert_imag_matrix_device(n_obs, np.dtype(dtype)) \
+        if complexify else None
 
     means, stds, keeps = {}, {}, {}
 

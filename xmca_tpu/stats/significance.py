@@ -53,7 +53,6 @@ def _auto_batch(n_runs, n_obs, n_vars_total, itemsize, target_bytes=2 << 30,
 # compiled executables (and their closure-captured device Hilbert
 # operators) forever.
 _ENSEMBLE_FN_CACHE = {}
-_HILBERT_DEVICE_CACHE = {}
 _CACHE_MAX_ENTRIES = 32
 
 
@@ -77,18 +76,8 @@ def _cached_ensemble_fn(cache_key, build, in_axes=0, vmapped=True):
 
 
 def _device_hilbert(n_obs, dtype):
-    """Device-resident Hilbert operator, cached per (length, dtype).
-
-    Re-uploading H on every call would change the constant captured by
-    the cached jitted pipelines (and re-transfer n^2 floats).
-    """
-    key = (int(n_obs), np.dtype(dtype).str, jax.default_backend())
-    if key not in _HILBERT_DEVICE_CACHE:
-        _cache_put(
-            _HILBERT_DEVICE_CACHE, key,
-            jnp.asarray(_fast.hilbert_imag_matrix(n_obs, dtype)),
-        )
-    return _HILBERT_DEVICE_CACHE[key]
+    """Device-resident Hilbert operator (shared library-wide cache)."""
+    return _fast.hilbert_imag_matrix_device(n_obs, dtype)
 
 
 @jax.jit
