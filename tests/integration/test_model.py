@@ -451,3 +451,57 @@ def test_pattern_phase_shift_matches_host_computation():
     r_ref = r_ref.reshape(6, 7, 3)
     np.testing.assert_allclose(hom['left'], r_ref, atol=1e-10)
     assert ((pv['left'] >= 0) & (pv['left'] <= 1)).all()
+
+
+def test_deferred_complexification_matches_eager():
+    """Fold solves defer Z = X + iHX; every consumer must see results
+    identical to the eagerly materialized pipeline."""
+    from xmca_tpu.array import MCA
+    rng = np.random.default_rng(11)
+    n, lat, lon = 64, 8, 12                    # wide: p=96 > n=64
+    A = rng.standard_normal((n, lat, lon))
+    B = rng.standard_normal((n, lat, lon))
+
+    def solved():
+        m = MCA(A, B)
+        m.set_solver(truncate=6)
+        m.solve(complexify=True)
+        m.rotate(4)
+        return m
+
+    m_lazy = solved()
+    assert m_lazy._complexify_pending          # rotate never needs Z
+    assert not np.iscomplexobj(np.asarray(m_lazy._fields['left']))
+
+    m_eager = solved()
+    m_eager._ensure_complex_fields()           # materialize up front
+    assert not m_eager._complexify_pending
+
+    # consumers trigger (or already used) materialization; results match
+    pcs_l = m_lazy.pcs(4)
+    assert not m_lazy._complexify_pending
+    pcs_e = m_eager.pcs(4)
+    for k in ('left', 'right'):
+        np.testing.assert_allclose(pcs_l[k], pcs_e[k], atol=1e-10)
+
+    hom_l, _ = m_lazy.homogeneous_patterns(3)
+    hom_e, _ = m_eager.homogeneous_patterns(3)
+    rec_l = m_lazy.reconstructed_fields(mode=2)
+    rec_e = m_eager.reconstructed_fields(mode=2)
+    f_l = m_lazy.fields()
+    f_e = m_eager.fields()
+    for k in ('left', 'right'):
+        np.testing.assert_allclose(hom_l[k], hom_e[k], atol=1e-10)
+        np.testing.assert_allclose(rec_l[k], rec_e[k], atol=1e-10)
+        np.testing.assert_allclose(f_l[k], f_e[k], atol=1e-12)
+
+    # a re-solve flushes the pending complexification first (reference
+    # parity: solve mutates the stored fields permanently)
+    m2 = solved()
+    m2.solve(complexify=False)
+    m3 = solved()
+    m3._ensure_complex_fields()
+    m3.solve(complexify=False)
+    np.testing.assert_allclose(
+        m2.singular_values(4), m3.singular_values(4), rtol=1e-9
+    )

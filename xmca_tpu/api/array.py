@@ -205,6 +205,7 @@ class MCA:
         # field meta information (host side; shapes are static for XLA)
         self._keys = ['left', 'right']
         self._fields = {}
+        self._complexify_pending = False
         self._shape = {}
         self._field_names = {}
         self._field_means = {}
@@ -632,8 +633,42 @@ class MCA:
         return scaled
 
     # ------------------------------------------------------------ raw views
+    def _ensure_complex_fields(self):
+        """Materialize a deferred Hilbert complexification.
+
+        Fold-based solves (`_solve_truncated` via the analytic fold)
+        leave the REAL fields resident: rotate/rule_n/variance never
+        touch them, so the solve->rotate->significance pipeline skips
+        the ``Z = X + iHX`` matmuls and the 2x field memory entirely.
+        The first consumer of the complex fields (pcs, patterns,
+        reconstruction, ``fields()``, a re-solve) pays them here once.
+        """
+        if not self._complexify_pending:
+            return
+        self._complexify_pending = False
+        self._fields = {
+            k: _pre.complexify(f) for k, f in self._fields.items()
+        }
+
+    def _can_defer_complexify(self, extend):
+        """True when the upcoming complexified solve will run the
+        analytic fold on the real fields (so Z need not exist yet)."""
+        from xmca_tpu.core.preprocess import _HILBERT_MATMUL_MAX_N
+        if extend or self._solver_truncate is None or not self._fields:
+            return False
+        n_obs = self._n_observations['left']
+        if n_obs > _HILBERT_MATMUL_MAX_N:
+            return False
+        # wide regime only — the small-space branch of _solve_truncated
+        # runs the exact pipeline on the materialized complex fields
+        return min(
+            int(f.shape[1]) for f in self._fields.values()
+        ) >= n_obs
+
     def _get_X(self, original_scale=False, real=False):
         self._require_resident_fields('fields')
+        if not (real and self._complexify_pending):
+            self._ensure_complex_fields()
         X = {k: _to_np(f) for k, f in self._fields.items()}
         if real:
             X = {k: x.real for k, x in X.items()}
@@ -649,6 +684,8 @@ class MCA:
         vs 0.1 s/run for the at-scale bootstrap ensemble.
         """
         self._require_resident_fields('bootstrapping')
+        if not (real and self._complexify_pending):
+            self._ensure_complex_fields()
         X = dict(self._fields)
         if real:
             X = {
@@ -698,6 +735,10 @@ class MCA:
             raise RuntimeError(
                 'Fields are empty. Did you forget to load data?'
             )
+        # a previous fold solve may have deferred its complexification;
+        # re-solves operate on the complexified fields (reference
+        # parity: solve mutates the stored data permanently)
+        self._ensure_complex_fields()
 
         self._analysis['is_complex'] = complexify
         self._analysis['extend'] = extend
@@ -718,10 +759,15 @@ class MCA:
             }
 
         if self._analysis['is_complex']:
-            self._fields = {
-                k: _pre.complexify(f, extend=extend, period=period)
-                for k, f in self._fields.items()
-            }
+            if self._can_defer_complexify(extend):
+                # the truncated solve runs the analytic fold on the
+                # real fields — Z materializes lazily on first use
+                self._complexify_pending = True
+            else:
+                self._fields = {
+                    k: _pre.complexify(f, extend=extend, period=period)
+                    for k, f in self._fields.items()
+                }
 
         fields = [self._fields[k] for k in self._keys]
         if self._solver_truncate is not None:
@@ -1127,6 +1173,7 @@ class MCA:
         pool = self._mode_pool(n, rotated)
         keep = self._get_slice(n)
         _, whiten = self._rotation_weights(pool)
+        self._ensure_complex_fields()
         stream = getattr(self, '_stream_scores', None)
         R_it = self._rotation_dev(inverse_transpose=True) if rotated \
             else None
@@ -1317,6 +1364,7 @@ class MCA:
         map does.  p-values come from the map on host (scipy betainc).
         """
         self._require_resident_fields('correlation patterns')
+        self._ensure_complex_fields()
         pool = self._mode_pool(n, True)
         keep = self._get_slice(n)
         basis = self._basis_dev()
@@ -1370,6 +1418,7 @@ class MCA:
         return _reconstruct_kernel(*args, **kw)
 
     def _reconstruct_args(self, key, mode):
+        self._ensure_complex_fields()
         pool = self._analysis['n_rot']
         keep = self._get_slice(mode)
         basis = self._basis_dev()
