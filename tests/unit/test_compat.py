@@ -78,3 +78,44 @@ def test_read_reference_fixture(fixtures_path):
     raw = netcdf.read_dataarray(os.path.join(fixtures_path, 'sst.nc'))
     assert raw['dims'] == ('time', 'lat', 'lon')
     assert raw['values'].shape == (492, 9, 18)
+
+
+def test_netcdf_chunks_streamed_solve(tmp_path):
+    """netcdf_chunks feeds from_chunks straight from disk: the streamed
+    solve matches the in-memory solve of the same data."""
+    from xmca_tpu.array import MCA
+
+    rng = np.random.default_rng(5)
+    n, lat, lon = 40, 12, 9
+    A = rng.standard_normal((n, lat, lon))
+    B = rng.standard_normal((n, lat, lon))
+    A[:, 2, 3] = np.nan                       # NaN column handling
+    for name, arr in (('a', A), ('b', B)):
+        netcdf.write_dataarray(
+            str(tmp_path / (name + '.nc')), name, arr,
+            dims=('time', 'lat', 'lon'),
+        )
+
+    # tiny budget -> many slabs (lat rows split); dtype cast on read
+    ld_a, n_obs, shp_a = netcdf.netcdf_chunks(
+        str(tmp_path / 'a.nc'), max_chunk_bytes=40 * 9 * 8 * 3,
+    )
+    ld_b, _, shp_b = netcdf.netcdf_chunks(str(tmp_path / 'b.nc'))
+    assert n_obs == n and shp_a == (lat, lon)
+    slabs = list(ld_a())
+    assert len(slabs) > 1                     # genuinely chunked
+    assert sum(s.shape[1] for s in slabs) == lat * lon
+
+    ms = MCA.from_chunks(ld_a, ld_b, n_observations=n_obs,
+                         left_shape=shp_a, right_shape=shp_b)
+    ms.set_solver(truncate=5)
+    ms.solve()
+
+    mm = MCA(A, B)
+    mm.set_solver(truncate=5)
+    mm.solve()
+    assert_allclose(ms.singular_values(), mm.singular_values(),
+                    rtol=1e-8)
+    es, em = ms.eofs(3, rotated=False), mm.eofs(3, rotated=False)
+    for k in ('left', 'right'):
+        assert_allclose(np.abs(es[k]), np.abs(em[k]), atol=1e-7)

@@ -482,8 +482,10 @@ class MCA:
         ----------
         left, right : callables returning a *fresh* iterable of
             ``(n_observations, p_chunk)`` host arrays, e.g. successive
-            reads from a memmap / zarr / netCDF store.  Each field is
-            streamed twice per solve (Gram pass + projection pass).
+            reads from a memmap / zarr / netCDF store
+            (:func:`xmca_tpu.compat.netcdf_chunks` builds one straight
+            from a netCDF file).  Each field is streamed twice per
+            solve (Gram pass + projection pass).
             Columns containing NaN are dropped exactly, matching the
             in-memory ingestion (their Gram/score contributions are
             zeroed — algebraically identical to removal).

@@ -35,3 +35,11 @@ def open_dataarray(path, engine=None, **kwargs):
             pass
     from xmca_tpu.compat import xarray_lite
     return xarray_lite.open_dataarray(path)
+
+
+def netcdf_chunks(path, **kwargs):
+    """Out-of-core chunk loader over a netCDF variable — see
+    :func:`xmca_tpu.compat.netcdf.netcdf_chunks`.  Feeds
+    ``MCA.from_chunks`` / ``xMCA.from_chunks`` straight from disk."""
+    from xmca_tpu.compat.netcdf import netcdf_chunks as _chunks
+    return _chunks(path, **kwargs)

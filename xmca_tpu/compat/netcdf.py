@@ -40,6 +40,74 @@ def _is_dimension_scale(ds):
     return _decode(ds.attrs.get('CLASS', b'')) == 'DIMENSION_SCALE'
 
 
+def _find_main_dataset(h):
+    """The single data variable of a one-variable netCDF file (its
+    dimension scales are the coordinates)."""
+    import h5py
+    main, scales = None, {}
+    for name, ds in h.items():
+        if not isinstance(ds, h5py.Dataset):
+            continue
+        if _is_dimension_scale(ds):
+            scales[name] = ds
+        else:
+            main = (name, ds)
+    if main is None:
+        # file contains only coordinate-like variables; pick largest
+        name = max(scales, key=lambda k: scales[k].size)
+        main = (name, scales.pop(name))
+    return main, scales
+
+
+def netcdf_chunks(path, *, max_chunk_bytes=256 * 2 ** 20, dtype=None):
+    """Out-of-core chunk loader over a netCDF variable.
+
+    Returns ``(loader, n_observations, spatial_shape)`` ready for
+    :meth:`xmca_tpu.array.MCA.from_chunks` /
+    :meth:`xmca_tpu.xarray.xMCA.from_chunks`: ``loader()`` yields
+    ``(n_observations, p_chunk)`` float slabs read lazily from disk —
+    the full grid never exists in host memory.  The variable must be
+    laid out time-first (``(time, *spatial)``, the reference's
+    convention); slabs split along the leading spatial axis so each
+    stays under ``max_chunk_bytes``.  ``_FillValue`` entries become
+    NaN per slab (the streamed solve drops NaN columns exactly).
+    """
+    import h5py
+
+    with h5py.File(path, 'r') as h:
+        (_, ds), _scales = _find_main_dataset(h)
+        shape = ds.shape
+        fill = ds.attrs.get('_FillValue', None)
+    if len(shape) < 2:
+        raise ValueError(
+            'netcdf_chunks needs a (time, *spatial) variable; '
+            'got shape {:}'.format(shape)
+        )
+    n_obs, spatial_shape = int(shape[0]), tuple(
+        int(s) for s in shape[1:]
+    )
+    out_dtype = np.dtype(dtype) if dtype is not None else None
+
+    inner = int(np.prod(spatial_shape[1:], dtype=np.int64)) or 1
+    itemsize = (out_dtype or np.dtype(np.float64)).itemsize
+    rows = max(1, int(max_chunk_bytes // (n_obs * inner * itemsize)))
+
+    def loader():
+        with h5py.File(path, 'r') as h:
+            (_, ds), _scales = _find_main_dataset(h)
+            for s in range(0, spatial_shape[0], rows):
+                slab = np.asarray(ds[:, s:s + rows])
+                if out_dtype is not None:
+                    slab = slab.astype(out_dtype)
+                if (fill is not None
+                        and np.issubdtype(slab.dtype, np.floating)
+                        and not np.isnan(fill)):
+                    slab = np.where(slab == fill, np.nan, slab)
+                yield slab.reshape(n_obs, -1)
+
+    return loader, n_obs, spatial_shape
+
+
 def read_dataarray(path):
     """Read a single-variable netCDF4/HDF5 file.
 
@@ -51,20 +119,7 @@ def read_dataarray(path):
     import h5py
 
     with h5py.File(path, 'r') as h:
-        main = None
-        scales = {}
-        for name, ds in h.items():
-            if not isinstance(ds, h5py.Dataset):
-                continue
-            if _is_dimension_scale(ds):
-                scales[name] = ds
-            else:
-                main = (name, ds)
-        if main is None:
-            # file contains only coordinate-like variables; pick largest
-            name = max(scales, key=lambda k: scales[k].size)
-            main = (name, scales.pop(name))
-
+        main, scales = _find_main_dataset(h)
         name, ds = main
         values = ds[()]
 
