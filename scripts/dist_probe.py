@@ -71,7 +71,9 @@ def main():
         )
         return q95
 
-    for dist in ('normal16', 'rademacher8'):
+    # 'rademacher' (bf16 +-1, ordinary Gram) isolates the draw-cost
+    # delta from the int8-Gram delta of 'rademacher8'
+    for dist in ('normal16', 'rademacher', 'rademacher8'):
         run(f'[warm] {dist}', n_probe, seed=1, dist=dist)
         run(f'[timed] {dist}', n_probe, seed=2, dist=dist)
         run(f'[timed2] {dist}', n_probe, seed=3, dist=dist)
