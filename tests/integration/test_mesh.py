@@ -269,6 +269,7 @@ def test_space_sharded_fold_solve_public_api():
     assert_allclose(ms.variance(4), mb.variance(4), rtol=1e-5)
 
 
+@requires_8dev
 def test_space_sharded_streamed_public_api():
     """from_chunks + set_solver(mesh with a space axis) routes the
     streamed passes through the sharded path and matches the

@@ -106,6 +106,24 @@ def test_netcdf_chunks_streamed_solve(tmp_path):
     assert len(slabs) > 1                     # genuinely chunked
     assert sum(s.shape[1] for s in slabs) == lat * lon
 
+    # _FillValue must be masked at the FILE dtype: after a float32
+    # downcast the exact float64 sentinel no longer compares equal
+    fill = 9.96920996838687e+36
+    C = rng.standard_normal((n, lat, lon))
+    C[:, 4, 1] = fill
+    netcdf.write_dataarray(
+        str(tmp_path / 'c.nc'), 'c', C, dims=('time', 'lat', 'lon'),
+        attrs={'_FillValue': fill},
+    )
+    ld_c, _, _ = netcdf.netcdf_chunks(
+        str(tmp_path / 'c.nc'), dtype=np.float32,
+    )
+    full = np.concatenate(list(ld_c()), axis=1).reshape(n, lat, lon)
+    assert full.dtype == np.float32
+    assert np.isnan(full[:, 4, 1]).all()
+    assert np.isfinite(np.delete(full.reshape(n, -1), 4 * lon + 1,
+                                 axis=1)).all()
+
     ms = MCA.from_chunks(ld_a, ld_b, n_observations=n_obs,
                          left_shape=shp_a, right_shape=shp_b)
     ms.set_solver(truncate=5)

@@ -739,8 +739,13 @@ class MCA:
             )
         # a previous fold solve may have deferred its complexification;
         # re-solves operate on the complexified fields (reference
-        # parity: solve mutates the stored data permanently)
-        self._ensure_complex_fields()
+        # parity: solve mutates the stored data permanently).  When THIS
+        # solve defers again, flushing would materialize a Z whose real
+        # part is all the fold reads — skip it (the algebra is
+        # identical: analytic(real(Z)) == Z for the no-extend signal).
+        will_defer = complexify and self._can_defer_complexify(extend)
+        if not will_defer:
+            self._ensure_complex_fields()
 
         self._analysis['is_complex'] = complexify
         self._analysis['extend'] = extend
@@ -761,7 +766,7 @@ class MCA:
             }
 
         if self._analysis['is_complex']:
-            if self._can_defer_complexify(extend):
+            if will_defer:
                 # the truncated solve runs the analytic fold on the
                 # real fields — Z materializes lazily on first use
                 self._complexify_pending = True

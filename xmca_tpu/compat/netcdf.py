@@ -97,12 +97,14 @@ def netcdf_chunks(path, *, max_chunk_bytes=256 * 2 ** 20, dtype=None):
             (_, ds), _scales = _find_main_dataset(h)
             for s in range(0, spatial_shape[0], rows):
                 slab = np.asarray(ds[:, s:s + rows])
-                if out_dtype is not None:
-                    slab = slab.astype(out_dtype)
+                # mask at the FILE dtype — after a downcast the exact
+                # equality against the stored _FillValue cannot match
                 if (fill is not None
                         and np.issubdtype(slab.dtype, np.floating)
                         and not np.isnan(fill)):
                     slab = np.where(slab == fill, np.nan, slab)
+                if out_dtype is not None:
+                    slab = slab.astype(out_dtype)
                 yield slab.reshape(n_obs, -1)
 
     return loader, n_obs, spatial_shape

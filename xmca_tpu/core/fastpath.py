@@ -561,7 +561,6 @@ def fast_rotated_variance(Xl, Xr, key, n_rot, power=1, tol=1e-8,
     return variance, converged
 
 
-@partial(jax.jit, static_argnames=('n_modes', 'n_iter'))
 def _kernel_svd_recovery(M, La, Lb, key, n_modes, n_iter):
     """Shared tail of every truncated solve: subspace SVD of the reduced
     kernel + triangular recovery of the temporal weight stacks."""
@@ -571,6 +570,7 @@ def _kernel_svd_recovery(M, La, Lb, key, n_modes, n_iter):
     return s, Zl, Zr
 
 
+@partial(jax.jit, static_argnames=('n_modes', 'n_iter'))
 def fast_solve_truncated(Xl, Xr, key, n_modes, n_iter=8, jitter_rel=1e-6):
     """Leading-n_modes MCA solve (svals + spatial vectors), matmul-only.
 

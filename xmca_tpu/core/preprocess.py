@@ -110,8 +110,11 @@ def analytic_signal(x):
     on_accel = jax.default_backend() != 'cpu'
     if on_accel and not jnp.iscomplexobj(x):
         if n <= _HILBERT_MATMUL_MAX_N:
-            from xmca_tpu.core.fastpath import hilbert_imag_matrix_device
-            H = hilbert_imag_matrix_device(n, real_dtype)
+            # host-side numpy H on purpose: this function traces under
+            # jit, where a captured DEVICE array costs an n^2 readback
+            # at trace time (the device cache serves eager call sites)
+            from xmca_tpu.core.fastpath import hilbert_imag_matrix
+            H = jnp.asarray(hilbert_imag_matrix(n, real_dtype))
             imag = jnp.matmul(H, x, precision=jax.lax.Precision.HIGHEST)
             return x + 1j * imag
         return _analytic_signal_circulant(x)
