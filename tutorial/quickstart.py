@@ -65,3 +65,19 @@ mca.save_analysis('/tmp/xmca_tpu_analysis')
 reloaded = xMCA()
 reloaded.load_analysis('/tmp/xmca_tpu_analysis/info.xmca')
 print('reloaded rank:', reloaded._analysis['rank'])
+
+# ---------------------------------------- out-of-core (streamed) solve
+# Fields wider than device memory stream through the chip in space
+# chunks; netcdf_chunks builds the loader straight from the file (the
+# full grid never exists in host memory).
+from xmca_tpu.array import MCA                   # noqa: E402
+from xmca_tpu.compat import netcdf_chunks        # noqa: E402
+
+loader, n_obs, shape = netcdf_chunks(
+    os.path.join(FIX, 'sst.nc'), max_chunk_bytes=64 * 2 ** 10,
+)
+stream = MCA.from_chunks(loader, None, n_observations=n_obs,
+                         left_shape=shape)
+stream.set_solver(truncate=5)
+stream.solve()
+print('streamed svals:', np.asarray(stream.singular_values())[:3])
