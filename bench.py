@@ -51,7 +51,14 @@ def main():
     from xmca_tpu.xarray import xMCA
     DataArray = xr.DataArray
 
-    on_tpu = jax.default_backend() == 'tpu'
+    try:
+        on_tpu = jax.default_backend() == 'tpu'
+    except RuntimeError:
+        # TPU tunnel down (axon init raises UNAVAILABLE): fall back to
+        # the CPU smoke configuration instead of crashing the bench —
+        # verified recoverable by re-pointing jax_platforms post-failure
+        jax.config.update('jax_platforms', 'cpu')
+        on_tpu = False
     if on_tpu:
         n_obs, n_lat, n_lon = 2000, 250, 400      # 100k cells per field
         n_surr = 125          # 1/8 of the 1000-surrogate north star
