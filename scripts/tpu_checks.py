@@ -41,7 +41,14 @@ def main():
         if not ok:
             failures.append(name)
 
-    if jax.default_backend() != 'tpu':
+    try:
+        backend = jax.default_backend()
+    except RuntimeError as e:          # tunnel down: axon init raises
+        print('no TPU backend (%s) — nothing to check here '
+              '(the CPU suite covers the fallback paths)'
+              % str(e).split(':')[0])
+        return 0
+    if backend != 'tpu':
         print('no TPU backend — nothing to check here '
               '(the CPU suite covers the fallback paths)')
         return 0
