@@ -129,6 +129,19 @@ def test_netcdf_chunks_streamed_solve(tmp_path):
     ms.set_solver(truncate=5)
     ms.solve()
 
+    # labeled variant: return_coords feeds xMCA.from_chunks directly
+    from xmca_tpu.xarray import xMCA
+    ld_a2, _, _, dims, coords = netcdf.netcdf_chunks(
+        str(tmp_path / 'a.nc'), return_coords=True,
+    )
+    assert dims == ('time', 'lat', 'lon')
+    assert coords['lat'].size == lat and coords['time'].size == n
+    mx = xMCA.from_chunks(ld_a2, None, coords=coords, dims=dims)
+    mx.set_solver(truncate=4)
+    mx.solve()
+    eof = mx.eofs(2, rotated=False)['left']
+    assert eof.dims == ('lat', 'lon', 'mode')
+
     mm = MCA(A, B)
     mm.set_solver(truncate=5)
     mm.solve()

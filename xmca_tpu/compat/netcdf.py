@@ -59,7 +59,24 @@ def _find_main_dataset(h):
     return main, scales
 
 
-def netcdf_chunks(path, *, max_chunk_bytes=256 * 2 ** 20, dtype=None):
+def _dataset_dims(ds):
+    """Dimension names of a dataset via its attached dimension scales."""
+    dims = []
+    for i, dim in enumerate(ds.dims):
+        label = None
+        try:
+            if len(dim) > 0:
+                scale_name = dim[0].name.lstrip('/')
+                if not scale_name.startswith(_PHONY_NAME):
+                    label = scale_name.split('/')[-1]
+        except Exception:
+            label = None
+        dims.append(label if label is not None else 'dim_%d' % i)
+    return tuple(dims)
+
+
+def netcdf_chunks(path, *, max_chunk_bytes=256 * 2 ** 20, dtype=None,
+                  return_coords=False):
     """Out-of-core chunk loader over a netCDF variable.
 
     Returns ``(loader, n_observations, spatial_shape)`` ready for
@@ -71,13 +88,26 @@ def netcdf_chunks(path, *, max_chunk_bytes=256 * 2 ** 20, dtype=None):
     convention); slabs split along the leading spatial axis so each
     stays under ``max_chunk_bytes``.  ``_FillValue`` entries become
     NaN per slab (the streamed solve drops NaN columns exactly).
+
+    With ``return_coords=True`` two further items are returned —
+    ``dims`` (names) and ``coords`` (name -> values, ``arange`` for
+    dims the file stores no coordinate for) — exactly what the
+    labeled :meth:`xmca_tpu.xarray.xMCA.from_chunks` needs.
     """
     import h5py
 
     with h5py.File(path, 'r') as h:
-        (_, ds), _scales = _find_main_dataset(h)
+        (_, ds), scales = _find_main_dataset(h)
         shape = ds.shape
         fill = ds.attrs.get('_FillValue', None)
+        dims = _dataset_dims(ds)
+        coords = {}
+        if return_coords:
+            for i, d in enumerate(dims):
+                if d in scales and scales[d].shape != ():
+                    coords[d] = np.asarray(scales[d][()])
+                else:
+                    coords[d] = np.arange(shape[i])
     if len(shape) < 2:
         raise ValueError(
             'netcdf_chunks needs a (time, *spatial) variable; '
@@ -107,6 +137,8 @@ def netcdf_chunks(path, *, max_chunk_bytes=256 * 2 ** 20, dtype=None):
                     slab = slab.astype(out_dtype)
                 yield slab.reshape(n_obs, -1)
 
+    if return_coords:
+        return loader, n_obs, spatial_shape, dims, coords
     return loader, n_obs, spatial_shape
 
 
@@ -126,19 +158,7 @@ def read_dataarray(path):
         values = ds[()]
 
         # resolve dimension names from attached dimension scales
-        dims = []
-        for i, dim in enumerate(ds.dims):
-            label = None
-            try:
-                if len(dim) > 0:
-                    scale_name = dim[0].name.lstrip('/')
-                    if not scale_name.startswith(_PHONY_NAME):
-                        label = scale_name.split('/')[-1]
-            except Exception:
-                label = None
-            if label is None:
-                label = 'dim_%d' % i
-            dims.append(label)
+        dims = list(_dataset_dims(ds))
 
         coords = {}
         for scale_name, sds in scales.items():
