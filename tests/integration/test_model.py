@@ -505,3 +505,13 @@ def test_deferred_complexification_matches_eager():
     np.testing.assert_allclose(
         m2.singular_values(4), m3.singular_values(4), rtol=1e-9
     )
+
+    # re-deferring on already-complex fields (materialized by a
+    # consumer, then solved again): the fold reads the real part, and
+    # the lazy re-materialization reproduces the complex field
+    m_lazy.solve(complexify=True)
+    m_lazy.rotate(4)
+    assert m_lazy._complexify_pending
+    pcs_again = m_lazy.pcs(4)
+    for k in ('left', 'right'):
+        np.testing.assert_allclose(pcs_again[k], pcs_e[k], atol=1e-10)
