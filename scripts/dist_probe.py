@@ -40,6 +40,8 @@ def main():
     if on_tpu:
         n_obs, p = 2000, 100_000
         n_probe, n_full = 48, 125
+        if os.environ.get('DIST_PROBE_QUICK'):
+            n_probe, n_full = 24, 125   # timing rough, q95 still exact
     else:
         n_obs, p = 256, 2048
         n_probe, n_full = 16, 32
