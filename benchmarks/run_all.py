@@ -241,6 +241,46 @@ def bench_promax_ensemble():
           {'runs': int(rn.shape[1]), 'power': 4})
 
 
+def bench_streamed():
+    """Config 8: out-of-core streamed solve (no reference counterpart).
+
+    Chunks are generated on the fly (seeded per chunk), so the full
+    field never exists in host RAM — on TPU this streams a
+    (2000, 400k)-column field (3.2 GB f32, 2x the resident north-star
+    width) through the chip in 50k-column chunks; complexified
+    truncated solve via the streamed analytic fold.
+    """
+    jax, on_tpu = _setup()
+    from xmca_tpu.array import MCA
+    if on_tpu:
+        n_obs, p, chunk = 2000, 400_000, 50_000
+    else:
+        n_obs, p, chunk = 256, 4096, 640
+
+    def loader():
+        for i, s in enumerate(range(0, p, chunk)):
+            r = np.random.default_rng(1000 + i)
+            yield r.standard_normal(
+                (n_obs, min(chunk, p - s)), dtype=np.float32
+            )
+
+    def build():
+        m = MCA.from_chunks(loader, None, n_observations=n_obs,
+                            left_shape=(p,))
+        m.set_solver(truncate=10)
+        m.solve(complexify=True)
+        return m
+
+    build()                                     # compile both passes
+    t0 = time.perf_counter()
+    m = build()
+    sv = np.asarray(m.singular_values())
+    wall = time.perf_counter() - t0
+    assert np.isfinite(sv).all()
+    _emit('streamed_cplx_trunc_solve_s', wall,
+          {'n_space': p, 'chunk': chunk})
+
+
 ALL = {
     'airtemp': bench_airtemp,
     'rotation': bench_rotation,
@@ -249,6 +289,7 @@ ALL = {
     'significance': bench_significance,
     'hilbert_long': bench_hilbert_long,
     'promax_ensemble': bench_promax_ensemble,
+    'streamed': bench_streamed,
 }
 
 if __name__ == '__main__':
