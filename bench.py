@@ -7,6 +7,13 @@ ensemble axis shards with zero cross-device traffic; linearity is verified
 by tests/integration/test_mesh.py), so one chip running 1/8 of the
 surrogates in T seconds is the v5e-8 doing all 1000 in ~T seconds.
 
+v5e-8-equivalence assumption (stated explicitly — see also
+benchmarks/RESULTS.md): solve+rotate are counted ONCE at their measured
+single-chip wall, i.e. the model replicates the fields per chip (~0.8 GB
+per field in f32 vs 16 GB HBM) instead of space-sharding them; real-ICI
+collective overhead of a sharded solve is not part of the claim.  Those
+stages are ~15% of the headline, bounding the assumption's leverage.
+
 Unlike round 1 (which hand-rolled core.fastpath calls), this drives the
 exact code path a user gets:
 

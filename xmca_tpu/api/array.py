@@ -723,6 +723,19 @@ class MCA:
         extension, per-field Gram decompositions, kernel SVD — runs as
         jitted XLA.  Chunk-backed models (``from_chunks``) route through
         the out-of-core streamed pipeline instead.
+
+        .. note:: ``extend='theta'`` accuracy.  The Theta boundary
+           forecast is re-derived as a vectorized device scan instead of
+           the reference's per-column statsmodels loop
+           (xmca/array.py:367-376); the two implementations agree to
+           ~1e-5 on the forecasts themselves, but EOFs of *trailing
+           near-degenerate modes* (singular-value gaps below ~5%) may
+           deviate up to ~2e-2 from the statsmodels-based reference —
+           in that regime any forecast difference of either
+           implementation rotates the basis within the near-degenerate
+           subspace.  Well-separated (leading) modes agree to ~1e-5/2e-4.
+           See PARITY.md ("theta") for the spectral-gap-conditioned
+           error analysis.
         """
         if self._is_chunk_backed():
             return self._solve_streamed(complexify, extend, period)
