@@ -5,6 +5,8 @@ full field in memory — and every result that flows through the public
 surface (singular values, eofs, pcs, rotation, rule_n scaling, predict)
 must match the in-memory truncated solve of the same data.
 """
+import os
+
 import numpy as np
 import pytest
 from numpy.testing import assert_allclose
@@ -123,27 +125,202 @@ def test_streamed_predict_matches_in_memory(disk_fields):
                     mm.predict(left=new, n=4)['left'], atol=1e-8)
 
 
-def test_streamed_guards_full_matrix_methods(disk_fields, tmp_path):
+def test_streamed_bootstrap_guard(disk_fields):
+    # streamed bootstrapping lands with the Gram-space resampler; until
+    # then the guard must be explicit, not a confusing AttributeError
     ms = _streamed(disk_fields)
-    for call in (
-        lambda: ms.fields(),
-        lambda: ms.homogeneous_patterns(3),
-        lambda: ms.reconstructed_fields(2),
-        lambda: ms.bootstrapping(2, n_modes=2, disable_progress=True),
-        lambda: ms.normalize(),
-        lambda: ms.apply_weights(left=2.0),
-    ):
-        with pytest.raises(RuntimeError, match='chunk-backed'):
-            call()
-    # save_analysis stores the fields themselves (reference format) —
-    # it must hit the same guard, not write a partial analysis
-    mx = _streamed_xmca(disk_fields)
     with pytest.raises(RuntimeError, match='chunk-backed'):
-        mx.save_analysis(path=str(tmp_path / 'a'))
-    # the xMCA weighting override must hit the same guard (not a
-    # misleading KeyError about the field name)
-    with pytest.raises(RuntimeError, match='chunk-backed'):
-        mx.apply_coslat()
+        ms.bootstrapping(2, n_modes=2, disable_progress=True)
+
+
+def test_streamed_normalize_matches_in_memory(disk_fields):
+    mm = MCA(disk_fields['left'][1], disk_fields['right'][1])
+    mm.set_solver(truncate=K)
+    mm.normalize()
+    mm.solve()
+    ms = MCA.from_chunks(
+        _loader(disk_fields['left'][0], 97),
+        _loader(disk_fields['right'][0], 97),
+        n_observations=N_OBS, left_shape=(N_LAT, N_LON),
+        right_shape=(N_LAT, N_LON),
+    )
+    ms.set_solver(truncate=K)
+    ms.normalize()
+    ms.solve()
+    assert ms._analysis['is_normalized']
+    assert_allclose(ms.singular_values(), mm.singular_values(),
+                    rtol=1e-9)
+    eof_s, eof_m = ms.eofs(K, rotated=False), mm.eofs(K, rotated=False)
+    for k in ('left', 'right'):
+        assert_allclose(eof_s[k], eof_m[k], atol=1e-8)
+    # raw stats are unchanged by the scaling (predict's _scale_X needs
+    # the ingestion-time stds)
+    assert_allclose(
+        ms._field_stds['left'],
+        disk_fields['left'][1].reshape(N_OBS, -1).std(axis=0),
+        rtol=1e-10,
+    )
+
+
+def test_streamed_apply_weights_matches_in_memory(disk_fields):
+    p = N_LAT * N_LON
+    rng = np.random.default_rng(8)
+    w_left = 0.5 + rng.random(p)
+    mm = MCA(disk_fields['left'][1], disk_fields['right'][1])
+    mm.set_solver(truncate=K)
+    mm.apply_weights(left=w_left, right=2.0)
+    mm.solve()
+    ms = _streamed(disk_fields)     # solve() again below re-streams
+    ms.apply_weights(left=w_left, right=2.0)
+    ms.solve()
+    assert_allclose(ms.singular_values(), mm.singular_values(),
+                    rtol=1e-9)
+    eof_s, eof_m = ms.eofs(K, rotated=False), mm.eofs(K, rotated=False)
+    pcs_s, pcs_m = ms.pcs(K, rotated=False), mm.pcs(K, rotated=False)
+    for k in ('left', 'right'):
+        assert_allclose(eof_s[k], eof_m[k], atol=1e-8)
+        assert_allclose(pcs_s[k], pcs_m[k], atol=1e-8)
+    # repeated calls compose multiplicatively like the resident multiply
+    ms.apply_weights(left=3.0)
+    assert_allclose(ms._stream_weights['left'], w_left * 3.0)
+    # non-spatial weights cannot stream
+    with pytest.raises(ValueError, match='spatial'):
+        ms.apply_weights(left=np.ones((N_OBS, p)))
+
+
+@pytest.mark.parametrize('complexify', [False, True])
+def test_streamed_fields_match_in_memory(disk_fields, complexify):
+    ms = _streamed(disk_fields, complexify=complexify)
+    mm = _in_memory(disk_fields, complexify=complexify)
+    for orig in (False, True):
+        fs = ms.fields(original_scale=orig)
+        fm = mm.fields(original_scale=orig)
+        for k in ('left', 'right'):
+            assert_allclose(fs[k], fm[k],
+                            atol=1e-6 if complexify else 1e-9)
+
+
+@pytest.mark.parametrize('complexify', [False, True])
+def test_streamed_patterns_match_in_memory(disk_fields, complexify):
+    ms = _streamed(disk_fields, complexify=complexify)
+    mm = _in_memory(disk_fields, complexify=complexify)
+    ms.rotate(4)
+    mm.rotate(4)
+    shift = 0.4 if complexify else 0
+    hs, hps = ms.homogeneous_patterns(3, phase_shift=shift)
+    hm, hpm = mm.homogeneous_patterns(3, phase_shift=shift)
+    es, eps = ms.heterogeneous_patterns(3)
+    em, epm = mm.heterogeneous_patterns(3)
+    for k in ('left', 'right'):
+        assert_allclose(hs[k], hm[k], atol=5e-6)
+        assert_allclose(hps[k], hpm[k], atol=5e-6)
+        assert_allclose(es[k], em[k], atol=5e-6)
+        assert_allclose(eps[k], epm[k], atol=5e-6)
+        assert (np.abs(hs[k]) <= 1 + 1e-12).all()
+
+
+@pytest.mark.parametrize('complexify', [False, True])
+def test_streamed_reconstruction_matches_in_memory(disk_fields,
+                                                   complexify):
+    ms = _streamed(disk_fields, complexify=complexify)
+    mm = _in_memory(disk_fields, complexify=complexify)
+    ms.rotate(4)
+    mm.rotate(4)
+    rs = ms.reconstructed_fields(3)
+    rm = mm.reconstructed_fields(3)
+    for k in ('left', 'right'):
+        assert_allclose(rs[k], rm[k], atol=1e-6)
+    # mode-slice addressing matches too
+    rs = ms.reconstructed_fields(slice(2, 4), original_scale=False)
+    rm = mm.reconstructed_fields(slice(2, 4), original_scale=False)
+    for k in ('left', 'right'):
+        assert_allclose(rs[k], rm[k], atol=1e-6)
+
+
+def test_streamed_nan_columns_in_result_layer(disk_fields, tmp_path):
+    """Streamed patterns/reconstruction scatter NaN columns like the
+    resident path does."""
+    p = N_LAT * N_LON
+    data = disk_fields['left'][1].reshape(N_OBS, p).copy()
+    data[:, [5, 60]] = np.nan
+    path = tmp_path / 'nan.dat'
+    mmap = np.memmap(path, dtype=np.float64, mode='w+',
+                     shape=(N_OBS, p))
+    mmap[:] = data
+    mmap.flush()
+    ms = MCA.from_chunks(
+        _loader(path, 97), None,
+        n_observations=N_OBS, left_shape=(N_LAT, N_LON),
+    )
+    ms.set_solver(truncate=K)
+    ms.solve()
+    mm = MCA(data.reshape(N_OBS, N_LAT, N_LON))
+    mm.set_solver(truncate=K)
+    mm.solve()
+    hs, _ = ms.homogeneous_patterns(3)
+    hm, _ = mm.homogeneous_patterns(3)
+    assert_allclose(hs['left'], hm['left'], atol=5e-6)
+    assert np.isnan(hs['left'].reshape(p, 3)[[5, 60]]).all()
+    rs = ms.reconstructed_fields(3)
+    rm = mm.reconstructed_fields(3)
+    assert_allclose(rs['left'], rm['left'], atol=1e-6)
+    fs = ms.fields()
+    fm = mm.fields()
+    assert_allclose(fs['left'], fm['left'], atol=1e-9)
+
+
+def test_streamed_xmca_coslat_matches_in_memory(disk_fields):
+    from xmca_tpu.compat import xr
+    coords = {
+        'time': np.arange(N_OBS),
+        'lat': np.linspace(-50, 50, N_LAT),
+        'lon': np.linspace(0, 340, N_LON),
+    }
+    da = {
+        k: xr.DataArray(
+            disk_fields[k][1], dims=('time', 'lat', 'lon'),
+            coords=coords, name=k,
+        ) for k in ('left', 'right')
+    }
+    mm = xMCA(da['left'], da['right'])
+    mm.set_solver(truncate=K)
+    mm.apply_coslat()
+    mm.solve()
+    ms = xMCA.from_chunks(
+        _loader(disk_fields['left'][0], 128),
+        _loader(disk_fields['right'][0], 128),
+        coords=coords,
+    )
+    ms.set_solver(truncate=K)
+    ms.apply_coslat()
+    ms.solve()
+    assert ms._analysis['is_coslat_corrected']
+    assert_allclose(np.asarray(ms.singular_values().values),
+                    np.asarray(mm.singular_values().values), rtol=1e-9)
+    eof_s, eof_m = ms.eofs(3), mm.eofs(3)
+    for k in ('left', 'right'):
+        assert_allclose(np.asarray(eof_s[k].values),
+                        np.asarray(eof_m[k].values), atol=1e-8)
+    # reconstruction folds the coslat inverse back in
+    rs = ms.reconstructed_fields(3)
+    rm = mm.reconstructed_fields(3)
+    assert_allclose(np.asarray(rs['left'].values),
+                    np.asarray(rm['left'].values), atol=1e-6)
+
+
+def test_streamed_save_load_roundtrip(disk_fields, tmp_path):
+    ms = _streamed_xmca(disk_fields)
+    path = str(tmp_path / 'analysis')
+    ms.save_analysis(path=path)
+    m2 = xMCA()
+    m2.load_analysis(os.path.join(path, 'info.xmca'))
+    assert_allclose(np.asarray(m2.singular_values().values),
+                    np.asarray(ms.singular_values().values), rtol=1e-6)
+    eof_s = ms.eofs(3, rotated=False)
+    eof_2 = m2.eofs(3, rotated=False)
+    for k in ('left', 'right'):
+        assert_allclose(np.asarray(eof_2[k].values),
+                        np.asarray(eof_s[k].values), atol=1e-6)
 
 
 def test_streamed_nan_columns_match_in_memory(disk_fields, tmp_path):

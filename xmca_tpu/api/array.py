@@ -135,14 +135,37 @@ def _reconstruct_factors_kernel(X, V, whiten, R_it, col_w, R, inv_norm,
 
 
 @partial(jax.jit, static_argnames=('pool', 'keep'))
-def _reconstruct_kernel(X, V, whiten, R_it, col_w, R, inv_norm,
-                        norm_keep, order, *, pool, keep):
-    """Mode-subset reconstruction real(U_eigen V_rotᴴ), fully fused and
-    device-resident — the iterative bootstrap's deflation step."""
-    S, W = _reconstruct_factors_kernel(
-        X, V, whiten, R_it, col_w, R, inv_norm, norm_keep, order,
-        pool=pool, keep=keep,
-    )
+def _stream_pattern_scores_kernel(S_raw, whiten, R_it, order, cos_p,
+                                  sin_p, *, pool, keep):
+    """Centered phase-shifted real PC series (+ norms) from streamed
+    raw scores — the PC half of `_pattern_kernel` with the projection
+    ``Xs V`` replaced by the solve-time accumulator."""
+    S = S_raw[:, :pool] * whiten
+    S = jnp.take(jnp.matmul(S, R_it, precision=_HI), order,
+                 axis=1)[:, slice(*keep)]
+    S = jnp.real(S) * cos_p - jnp.imag(S) * sin_p
+    Sc = S - jnp.mean(S, axis=0)
+    return Sc, jnp.linalg.norm(Sc, axis=0)
+
+
+@partial(jax.jit, static_argnames=('pool', 'keep'))
+def _stream_reconstruct_factors_kernel(S_raw, V, whiten, R_it, col_w,
+                                       R, inv_norm, norm_keep, order, *,
+                                       pool, keep):
+    """`_reconstruct_factors_kernel` fed by streamed raw scores: the
+    data projection ``X V`` is replaced by the solve-time accumulator
+    ``S_raw = Xz V``; the loadings half is identical."""
+    sel = slice(*keep)
+    S = jnp.matmul(S_raw[:, :pool] * whiten, R_it, precision=_HI)
+    S = jnp.take(S, order, axis=1)[:, sel] * norm_keep
+    W = jnp.matmul(V[:, :pool] * col_w, R, precision=_HI) * inv_norm
+    W = jnp.take(W, order, axis=1)[:, sel]
+    return S, W
+
+
+@jax.jit
+def _real_product_kernel(S, W):
+    """real(S Wᴴ) on device — the streamed deflation's reconstruction."""
     return jnp.real(jnp.matmul(S, W.conj().T, precision=_HI))
 
 
@@ -523,9 +546,49 @@ class MCA:
             model._field_names[k] = k
             model._no_nan_index[k] = np.ones(model._n_variables[k], bool)
         model._chunk_loaders = loaders
+        model._stream_weights = {}
         model._analysis['is_bivariate'] = len(model._keys) == 2
         model._analysis['method'] = model._get_method_id()
         return model
+
+    def _stream_transform(self):
+        """(weights dict, normalize flag) every streamed pass applies —
+        the chunk-backed model's preprocessing state (`normalize` /
+        `apply_weights` record intent here; the scaling itself happens
+        per chunk inside each pass, xmca_tpu.core.streaming)."""
+        return (getattr(self, '_stream_weights', {}) or {},
+                bool(self._analysis['is_normalized']))
+
+    def _stream_inverse_colmul(self, key):
+        """Extra full-width per-column inverse the streamed
+        ``original_scale`` applies — None at the MCA level (generic
+        weights are never undone, reference xmca/array.py:264-315);
+        the xMCA subclass supplies the coslat inverse here."""
+        return None
+
+    def _conform_stream_weights(self, key, w):
+        """Validate/flatten a chunk-backed weight to a scalar or a
+        full-width per-column vector (chunks carry the FULL spatial
+        width; packing onto kept columns happens inside the passes)."""
+        w = np.asarray(w, dtype=np.float64)
+        if w.ndim == 0:
+            return float(w)
+        p = self._n_variables[key]
+        if w.size == p:
+            return w.reshape(-1)
+        try:
+            return np.broadcast_to(
+                w, self._fields_spatial_shape[key]
+            ).reshape(-1).copy()
+        except ValueError:
+            raise ValueError(
+                'chunk-backed models support spatial (per-column) '
+                'weights only: weights for the {:} field must be a '
+                'scalar or broadcast to the spatial shape {:} '
+                '(got shape {:}).'.format(
+                    key, self._fields_spatial_shape[key], w.shape
+                )
+            )
 
     def _is_chunk_backed(self):
         return getattr(self, '_chunk_loaders', None) is not None
@@ -586,9 +649,22 @@ class MCA:
         """Apply weights to the left and/or right field.
 
         Weights broadcast against the packed 2-D (time, space) fields,
-        matching reference xmca/array.py:317-349.
+        matching reference xmca/array.py:317-349.  On chunk-backed
+        (out-of-core) models the weight is recorded as a per-column
+        scale and applied inside every streamed pass — spatial
+        (per-column) weights only; repeated calls compose
+        multiplicatively exactly like the resident multiply.
         """
-        self._require_resident_fields('apply_weights')
+        if self._is_chunk_backed():
+            for k, w in (('left', left), ('right', right)):
+                if w is None or k not in self._keys:
+                    continue
+                w = self._conform_stream_weights(k, w)
+                prev = self._stream_weights.get(k)
+                self._stream_weights[k] = (
+                    w if prev is None else prev * w
+                )
+            return
         weights = {'left': left, 'right': right}
         weights = {k: 1 if w is None else w for k, w in weights.items()}
         self._fields = {
@@ -597,12 +673,18 @@ class MCA:
         }
 
     def normalize(self):
-        """Normalize each time series by its standard deviation."""
-        self._require_resident_fields('normalize')
-        for k in self._keys:
-            self._fields[k] = _pre.standardize(
-                self._fields[k], jnp.asarray(self._field_stds[k])
-            )
+        """Normalize each time series by its standard deviation.
+
+        On chunk-backed (out-of-core) models this records the intent;
+        every streamed pass divides each column by its raw std in place
+        (identical algebra — the resident path divides by the
+        ingestion-time stds, which equal the chunk-local raw stds).
+        """
+        if not self._is_chunk_backed():
+            for k in self._keys:
+                self._fields[k] = _pre.standardize(
+                    self._fields[k], jnp.asarray(self._field_stds[k])
+                )
         self._analysis['is_normalized'] = True
         self._analysis['is_coslat_corrected'] = False
         self._analysis['method'] = self._get_method_id()
@@ -701,6 +783,33 @@ class MCA:
         n_var = self._n_variables
         fshape = self._fields_spatial_shape
         no_nan_idx = self._no_nan_index
+
+        if self._is_chunk_backed():
+            # re-read the loaders once with the model's per-chunk
+            # transform; the full-size host array is the contract
+            # (reference xmca/array.py:898-913 returns ndarrays)
+            from xmca_tpu.core.streaming import streamed_fields
+            weights, normalize = self._stream_transform()
+            dtype = getattr(self, '_stream_dtype', None) or (
+                np.dtype('float64') if jax.config.jax_enable_x64
+                else np.dtype('float32')
+            )
+            fields = {}
+            for k in self._keys:
+                full = streamed_fields(
+                    self._chunk_loaders[k], n_obs,
+                    complexify=self._analysis['is_complex'],
+                    weights=weights.get(k), normalize=normalize,
+                    original_scale=original_scale,
+                    inv_colmul=(self._stream_inverse_colmul(k)
+                                if original_scale else None),
+                    dtype=dtype,
+                    mesh=self._ensemble_mesh,
+                )
+                full[:, ~no_nan_idx[k]] = np.nan
+                fields[k] = full.reshape((n_obs,) + fshape[k])
+            return fields
+
         fields_2d = self._get_X(original_scale=original_scale)
 
         fields = {}
@@ -933,6 +1042,7 @@ class MCA:
         dtype = (np.dtype('float64') if jax.config.jax_enable_x64
                  else np.dtype('float32'))
         loaders = self._chunk_loaders
+        weights, normalize = self._stream_transform()
         res = streamed_mca(
             loaders['left'], loaders.get('right'),
             self._n_observations['left'], n_modes,
@@ -941,6 +1051,7 @@ class MCA:
             n_iter=self._subspace_iters, dtype=dtype,
             # ensemble-only meshes leave chunks unsharded (_space_shards)
             mesh=self._ensemble_mesh,
+            weights=weights, normalize=normalize,
         )
 
         self._field_means = {k: res.means[k] for k in self._keys}
@@ -953,6 +1064,12 @@ class MCA:
         self._stream_scores = dict(
             zip(self._keys, (res.scores_left, res.scores_right))
         )
+        # streamed-bootstrap working set: real centered (transformed)
+        # temporal Grams + pre-Hilbert raw scores (deflation algebra)
+        self._stream_grams = {k: res.grams[k] for k in self._keys}
+        self._stream_scores_pre = {k: res.scores_pre[k]
+                                   for k in self._keys}
+        self._stream_dtype = dtype
 
         svals = res.svals
         self._singular_values = svals
@@ -1382,18 +1499,26 @@ class MCA:
         contraction run as one device program against the resident
         basis — the full field never crosses to host; only the (p, k)
         map does.  p-values come from the map on host (scipy betainc).
+        Chunk-backed models stream the field through the same
+        contraction one chunk at a time, correlating against the PC
+        series captured at solve time (xmca_tpu.core.streaming).
         """
-        self._require_resident_fields('correlation patterns')
-        self._ensure_complex_fields()
         pool = self._mode_pool(n, True)
         keep = self._get_slice(n)
-        basis = self._basis_dev()
         _, whiten = self._rotation_weights(pool)
         R_it = self._rotation_dev(inverse_transpose=True)
         if self._analysis['is_complex']:
             cos_p, sin_p = np.cos(phase_shift), np.sin(phase_shift)
         else:
             cos_p, sin_p = 1.0, 0.0
+
+        if self._is_chunk_backed():
+            return self._correlation_maps_streamed(
+                pairs, pool, keep, whiten, R_it, cos_p, sin_p
+            )
+
+        self._ensure_complex_fields()
+        basis = self._basis_dev()
         r, p = {}, {}
         for key, source in pairs:
             rmap = _to_np(_pattern_kernel(
@@ -1401,6 +1526,42 @@ class MCA:
                 whiten, R_it, self._var_idx, cos_p, sin_p,
                 pool=pool, keep=(keep.start, keep.stop, keep.step),
             ))
+            r[key] = rmap
+            p[key] = self._corr_pvalues(rmap, self._n_observations[key])
+        return self._scatter_to_grid(r), self._scatter_to_grid(p)
+
+    def _correlation_maps_streamed(self, pairs, pool, keep, whiten,
+                                   R_it, cos_p, sin_p):
+        """Chunk-backed correlation maps: one streamed pass per field.
+
+        The PC series come from the solve-time score accumulators
+        (``_stream_scores``) — the only data-sized work is re-reading
+        the correlated field's chunks; everything matches the resident
+        `_pattern_kernel` contraction column block by column block.
+        """
+        from xmca_tpu.core.streaming import streamed_patterns
+        stream = getattr(self, '_stream_scores', None)
+        if stream is None:
+            raise RuntimeError(
+                'Cannot retrieve singular vectors. '
+                'Please call the method `solve` first.'
+            )
+        weights, normalize = self._stream_transform()
+        dtype = getattr(self, '_stream_dtype', np.dtype('float32'))
+        keep3 = (keep.start, keep.stop, keep.step)
+        r, p = {}, {}
+        for key, source in pairs:
+            Sc, s_norm = _stream_pattern_scores_kernel(
+                stream[source], whiten, R_it, self._var_idx,
+                cos_p, sin_p, pool=pool, keep=keep3,
+            )
+            full = streamed_patterns(
+                self._chunk_loaders[key], self._n_observations[key],
+                Sc, s_norm, weights=weights.get(key),
+                normalize=normalize, dtype=dtype,
+                mesh=self._ensemble_mesh,
+            )
+            rmap = full[self._no_nan_index[key]]
             r[key] = rmap
             p[key] = self._corr_pvalues(rmap, self._n_observations[key])
         return self._scatter_to_grid(r), self._scatter_to_grid(p)
@@ -1433,26 +1594,34 @@ class MCA:
         full-field transfer; a (2000, 100k) field costs ~18 s each way
         through the tunnel).
         """
-        self._require_resident_fields('reconstruction')
-        args, kw = self._reconstruct_args(key, mode)
-        return _reconstruct_kernel(*args, **kw)
+        S, W = self._reconstruct_factors_dev(key, mode)
+        return _real_product_kernel(S, W)
 
-    def _reconstruct_args(self, key, mode):
-        self._ensure_complex_fields()
+    def _reconstruct_factors_dev(self, key, mode):
+        """Device rank-k factors (S, W) of the mode-subset
+        reconstruction — from the resident fields, or (chunk-backed)
+        from the solve-time score accumulators."""
         pool = self._analysis['n_rot']
         keep = self._get_slice(mode)
         basis = self._basis_dev()
         col_w, whiten = self._rotation_weights(pool)
-        args = (
-            self._fields[key], basis[key],
+        common = (
+            basis[key],
             whiten, self._rotation_dev(inverse_transpose=True),
             col_w, self._rotation_dev(),
             1.0 / self._get_norm(pool, sorted=False)[key],
             self._get_norm(mode, sorted=True)[key],
             self._var_idx,
         )
-        return args, dict(pool=pool,
-                          keep=(keep.start, keep.stop, keep.step))
+        kw = dict(pool=pool, keep=(keep.start, keep.stop, keep.step))
+        if self._is_chunk_backed():
+            return _stream_reconstruct_factors_kernel(
+                self._stream_scores[key], *common, **kw
+            )
+        self._ensure_complex_fields()
+        return _reconstruct_factors_kernel(
+            self._fields[key], *common, **kw
+        )
 
     def _inverse_scale_vectors(self, key):
         """The inverse scaling as per-column vectors over kept columns.
@@ -1481,9 +1650,8 @@ class MCA:
         appended ones-column in ``A`` against the means column in
         ``B`` — each extra full-field pass costs ~1 s/field on the
         single host core at (2000, 100k)."""
-        args, kw = self._reconstruct_args(key, mode)
         S, W = (_to_np(a)
-                for a in _reconstruct_factors_kernel(*args, **kw))
+                for a in self._reconstruct_factors_dev(key, mode))
         if np.iscomplexobj(S):
             Sp = [np.ascontiguousarray(S.real),
                   np.ascontiguousarray(S.imag)]
@@ -1505,7 +1673,6 @@ class MCA:
     def _reconstructed_X(self, mode=None, original_scale=True):
         """Host reconstruction on the packed (kept) columns — one sgemm
         per field (see `_reconstruct_host_factors`)."""
-        self._require_resident_fields('reconstruction')
         rec = {}
         for k in self._keys:
             A, B = self._reconstruct_host_factors(k, mode, original_scale)
@@ -1519,7 +1686,6 @@ class MCA:
         grid directly (NaN propagates through every dot product).
         Versus gemm-then-scatter this removes a second ~800 MB/field
         buffer and the full-field copy through it."""
-        self._require_resident_fields('reconstruction')
         rec = {}
         for k in self._keys:
             A, B = self._reconstruct_host_factors(k, mode, original_scale)
@@ -1636,6 +1802,11 @@ class MCA:
             if stream is not None:
                 self._stream_scores = {
                     k: s[:, :n] for k, s in stream.items()
+                }
+            stream_pre = getattr(self, '_stream_scores_pre', None)
+            if stream_pre is not None:
+                self._stream_scores_pre = {
+                    k: s[:, :n] for k, s in stream_pre.items()
                 }
             self._analysis['is_truncated'] = True
             self._analysis['is_truncated_at'] = n

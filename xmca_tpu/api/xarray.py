@@ -111,14 +111,27 @@ class xMCA(MCA):
         return model
 
     # ------------------------------------------------------------- scaling
-    def _coslat_weights(self, k):
-        """sqrt(cos(lat)) weights on the packed columns of field `k`."""
-        coords = self._field_coords
-        lat = np.asarray(coords[k]['lat'].values, dtype=np.float64)
+    def _coslat_weights_full(self, k):
+        """sqrt(cos(lat)) weights on the FULL grid of field `k`,
+        flattened."""
+        lat = self._field_coords[k]['lat']
+        # chunk-backed models store plain ndarrays for coords
+        lat = np.asarray(getattr(lat, 'values', lat), dtype=np.float64)
         coslat = np.sqrt(np.cos(np.deg2rad(lat)))
         weights = np.ones(self._fields_spatial_shape[k]) \
             * coslat.reshape(coslat.size, 1)
-        return weights.flatten()[self._no_nan_index[k]]
+        return weights.flatten()
+
+    def _coslat_weights(self, k):
+        """sqrt(cos(lat)) weights on the packed columns of field `k`."""
+        return self._coslat_weights_full(k)[self._no_nan_index[k]]
+
+    def _stream_inverse_colmul(self, key):
+        """The coslat inverse the streamed ``original_scale`` undoes
+        (mirrors `_scale_X_inverse`'s first factor)."""
+        if self._analysis['is_coslat_corrected']:
+            return 1.0 / self._coslat_weights_full(key)
+        return None
 
     def _scale_X(self, data_dict):
         """Center / normalize / coslat-weight new data, per field.
@@ -214,6 +227,33 @@ class xMCA(MCA):
             ) from err
         self._fields[k] = jnp.asarray(new_field)
 
+    def _weight_grid(self, k, weight):
+        """Evaluate a weight on field `k`'s FULL spatial grid (no
+        packing) — the chunk-backed weighting path: streamed chunks
+        carry the full spatial width, so per-column weights must too."""
+        spatial_dims = tuple(self._field_dims[k][1:])
+        coords = {
+            d: self._field_coords[k][d]
+            for d in spatial_dims if d in self._field_coords[k]
+        }
+        template = xr.DataArray(
+            np.ones(self._fields_spatial_shape[k]),
+            dims=spatial_dims, coords=coords,
+        )
+        try:
+            w = np.asarray((template * weight).values)
+        except Exception:
+            w = None
+        if w is None or w.shape != tuple(self._fields_spatial_shape[k]):
+            raise ValueError(
+                'chunk-backed models support spatial (per-column) '
+                'weights only: weights for the {:} field must '
+                'broadcast to the spatial shape {:}.'.format(
+                    k, self._fields_spatial_shape[k]
+                )
+            )
+        return w
+
     def apply_weights(self, **weights):
         """Multiply fields by (dim-broadcast) DataArray weights.
 
@@ -222,8 +262,20 @@ class xMCA(MCA):
         field under jit — the full field never round-trips through the
         host (at north-star scale that transfer alone costs ~70 s over
         a tunneled TPU link; the device multiply is microseconds).
+        On chunk-backed models the full-grid weight is recorded and
+        applied per chunk inside every streamed pass.
         """
-        self._require_resident_fields('apply_weights')
+        if self._is_chunk_backed():
+            for k, weight in weights.items():
+                if k not in self._keys:
+                    raise KeyError(
+                        'Key `{:}` not found. Please use `left` or '
+                        '`right`'.format(k)
+                    )
+                MCA.apply_weights(
+                    self, **{k: self._weight_grid(k, weight)}
+                )
+            return
         for k, weight in weights.items():
             if k not in self._fields:
                 raise KeyError(
@@ -246,6 +298,12 @@ class xMCA(MCA):
         for key in self._keys:
             epsilon = 1e-6
             lat = coords[key]['lat']
+            if not _is_dataarray(lat):
+                # chunk-backed coords are plain ndarrays; label the
+                # weight so it broadcasts along the lat dim (a bare
+                # (n_lat,) vector would broadcast positionally along
+                # the LAST spatial axis)
+                lat = xr.DataArray(np.asarray(lat), dims=('lat',))
             weights[key] = np.sqrt(np.cos(np.deg2rad(lat)) + epsilon)
         self.apply_weights(**weights)
         self._analysis['is_coslat_corrected'] = True
@@ -567,10 +625,13 @@ class xMCA(MCA):
         File layout parity with reference xmca/xarray.py:1253-1279:
         singular values, per-field unrotated EOFs, per-field original-scale
         (real-part) input fields.
+
+        Chunk-backed (out-of-core) models save too: the streamed
+        ``fields()`` pass re-reads the loaders once and the written
+        files are full-size (the reference's on-disk format stores the
+        fields themselves) — ``load_analysis`` then restores a resident
+        model.
         """
-        # chunk-backed models cannot save: the on-disk format stores
-        # the fields themselves; fail before writing anything partial
-        self._require_resident_fields('save_analysis')
         analysis_path = self._get_analysis_path(path)
         self._create_analysis_path(analysis_path)
         self._create_info_file(analysis_path)

@@ -48,6 +48,13 @@ StreamedMCA = namedtuple('StreamedMCA', [
     'scores_left', 'scores_right',  # (n, k) DEVICE unwhitened PC series
     'means', 'stds',         # {'left'/'right': (p_kept,)} host column stats
     'keep',                  # {'left'/'right': (p,) bool} non-NaN columns
+    'grams',        # {'left'/'right': (n, n)} DEVICE real centered Grams
+                    # of the transformed data, pre-jitter/pre-fold — the
+                    # streamed bootstrap's whole working set (time-axis
+                    # resampling is pure index algebra on these)
+    'scores_pre',   # {'left'/'right': (n, k)} DEVICE pre-Hilbert raw
+                    # scores ``Xc V`` (== scores for real solves) — the
+                    # streamed deflation needs the REAL data's projection
 ])
 
 
@@ -117,9 +124,36 @@ def _zero_nan_cols(c):
     return jnp.where(nan_cols[None, :], 0, c), nan_cols
 
 
-@jax.jit
-def _accumulate(G, chunk):
-    """One pass-1 update: center the chunk and accumulate its Gram,
+def _transform_chunk(chunk, w, *, normalize, has_w):
+    """Shared per-chunk preprocessing of EVERY streamed pass.
+
+    NaN-column zeroing, exact centering (columns are chunk-local), then
+    the model's column scaling: ``apply_weights`` (per-column weight
+    slice ``w``) and/or ``normalize`` (divide by the chunk-local RAW
+    std — identical to the in-memory path, where ``normalize`` divides
+    by the ingestion-time stds; both scalings commute with centering
+    and with each other).  NaN columns keep a unit divisor so they stay
+    exactly zero; zero-variance real columns divide to NaN/inf like the
+    resident path (reference behavior, xmca/array.py:351-365).
+
+    Returns ``(cc, mu, var, nan_cols)`` with ``mu``/``var`` the RAW
+    (pre-scaling) column stats — the model-state means/stds.
+    """
+    c, nan_cols = _zero_nan_cols(jnp.asarray(chunk))
+    mu = jnp.mean(c, axis=0)
+    cc = c - mu
+    var = jnp.mean(cc * cc, axis=0)
+    if has_w:
+        cc = cc * w
+    if normalize:
+        denom = jnp.where(nan_cols, 1.0, jnp.sqrt(var))
+        cc = cc / denom
+    return cc, mu, var, nan_cols
+
+
+@partial(jax.jit, static_argnames=('normalize', 'has_w'))
+def _accumulate(G, chunk, w, *, normalize, has_w):
+    """One pass-1 update: transform the chunk and accumulate its Gram,
     plus the chunk's column means/variances and NaN-column mask (the
     model-state statistics — predict needs them and the chunk is
     already on device).
@@ -135,14 +169,31 @@ def _accumulate(G, chunk):
     making the Cholesky fail.  Caught by driving the solver on the
     reference's own sst fixture.)
     """
-    c, nan_cols = _zero_nan_cols(jnp.asarray(chunk))
-    mu = jnp.mean(c, axis=0)
-    cc = c - mu
+    cc, mu, var, nan_cols = _transform_chunk(
+        chunk, w, normalize=normalize, has_w=has_w
+    )
     G = G + jnp.matmul(cc, cc.T, precision=_HI)
-    return G, mu, jnp.mean(cc * cc, axis=0), nan_cols
+    return G, mu, var, nan_cols
 
 
-def streamed_gram(chunks, n_obs, dtype=jnp.float32, mesh=None):
+def _weight_slice(weights, off, wt, wp, dtype):
+    """Per-chunk slice of a field's column-weight spec.
+
+    ``weights`` may be None (no ``apply_weights``), a scalar, or a
+    full-width ``(p,)`` host vector; pad columns get weight 0 (they
+    must stay exactly zero).  Returns ``(w_or_None, has_w)``."""
+    if weights is None:
+        return jnp.zeros(0, dtype), False
+    if np.isscalar(weights) or np.ndim(weights) == 0:
+        w = np.full(wp, float(weights), dtype)
+    else:
+        w = np.zeros(wp, dtype)
+        w[:wt] = np.asarray(weights[off:off + wt], dtype)
+    return jnp.asarray(w), True
+
+
+def streamed_gram(chunks, n_obs, dtype=jnp.float32, mesh=None,
+                  weights=None, normalize=False):
     """Centered temporal Gram of a streamed field (pass 1).
 
     ``chunks``: iterable of host ``(n_obs, p_chunk)`` arrays.  Returns
@@ -152,18 +203,25 @@ def streamed_gram(chunks, n_obs, dtype=jnp.float32, mesh=None):
     length-p contraction grows like ``eps * sqrt(p)``), the host
     ``(p_kept,)`` packed column means/stds, and the full-width bool
     keep mask.  Columns containing NaN are dropped exactly (see
-    `_zero_nan_cols`), matching the in-memory ingestion.  With a
-    ``mesh`` carrying a ``'space'`` axis, each chunk is column-sharded
-    and the Gram comes out of per-device partial matmuls + psum
-    (`_put_chunk`).
+    `_zero_nan_cols`), matching the in-memory ingestion.
+    ``weights``/``normalize`` apply the model's column scaling per
+    chunk (`_transform_chunk`) — the returned means/stds stay RAW.
+    With a ``mesh`` carrying a ``'space'`` axis, each chunk is
+    column-sharded and the Gram comes out of per-device partial
+    matmuls + psum (`_put_chunk`).
     """
     G = jnp.zeros((n_obs, n_obs), dtype)
     widths = []
     means, vars_, masks = [], [], []
+    off = 0
     for chunk in chunks:
         chunk, wp, wt = _put_chunk(chunk, dtype, mesh)
         widths.append((wp, wt))
-        G, mu, var, nan_cols = _accumulate(G, chunk)
+        w, has_w = _weight_slice(weights, off, wt, wp, dtype)
+        off += wt
+        G, mu, var, nan_cols = _accumulate(
+            G, chunk, w, normalize=normalize, has_w=has_w
+        )
         # keep the small per-chunk stats ON DEVICE during the loop: a
         # blocking readback here would serialize the bandwidth-bound
         # Gram pass (each tunnel round trip ~30 ms and the next chunk's
@@ -190,8 +248,8 @@ def streamed_gram(chunks, n_obs, dtype=jnp.float32, mesh=None):
     return G, int(keep.sum()), mean, np.sqrt(np.maximum(var, 0.0)), keep
 
 
-@partial(jax.jit, static_argnames=('complexify',))
-def _project_chunk(chunk, Z, A, complexify):
+@partial(jax.jit, static_argnames=('complexify', 'normalize', 'has_w'))
+def _project_chunk(chunk, Z, A, w, *, complexify, normalize, has_w):
     """One pass-2 update: centered spatial vectors for a chunk, plus
     the running PC-score accumulator.
 
@@ -202,8 +260,9 @@ def _project_chunk(chunk, Z, A, complexify):
     the same pass for one extra small matmul, so the result layer never
     needs the (streamed, possibly disk-resident) data again.
     """
-    c, _ = _zero_nan_cols(jnp.asarray(chunk))   # same drops as pass 1
-    cc = c - jnp.mean(c, axis=0)      # exact: columns are chunk-local
+    cc, _, _, _ = _transform_chunk(          # same drops/scaling as pass 1
+        chunk, w, normalize=normalize, has_w=has_w
+    )
     P = jnp.matmul(cc.T, Z, precision=_HI)
     if complexify:
         P = _fast.combine_analytic_projection(P)
@@ -251,6 +310,107 @@ def _zeros_dev(*, shape, dtype):
     return jnp.zeros(shape, dtype)
 
 
+@partial(jax.jit,
+         static_argnames=('complexify', 'normalize', 'has_w',
+                          'original', 'has_inv'))
+def _fields_chunk(chunk, w, H, inv_w, *, complexify, normalize, has_w,
+                  original, has_inv):
+    """One chunk of a chunk-backed model's ``fields()`` view: the
+    preprocessed (and, for analytic solves, complexified) data, with
+    the reference's ``original_scale`` inverse — un-weight by
+    ``inv_w`` (the xMCA coslat inverse; generic MCA weights are never
+    undone, reference xmca/array.py:264-315), un-normalize, re-add the
+    mean (xmca/xarray.py:111-130 ordering).  NaN (dropped) columns are
+    re-inserted as NaN right here, so the view is correct even before
+    any solve has run."""
+    cc, mu, var, nan_cols = _transform_chunk(
+        chunk, w, normalize=normalize, has_w=has_w
+    )
+    z = cc + 1j * jnp.matmul(H, cc, precision=_HI) if complexify else cc
+    if original:
+        if has_inv:
+            z = z * inv_w
+        if normalize:
+            z = z * jnp.sqrt(var)
+        z = z + mu
+    return jnp.where(nan_cols[None, :], jnp.nan, z)
+
+
+def streamed_fields(loader, n_obs, *, complexify=False, weights=None,
+                    normalize=False, original_scale=False,
+                    inv_colmul=None, dtype=jnp.float32, mesh=None):
+    """Materialize a streamed field as one host ``(n_obs, p)`` array.
+
+    Re-reads the loader once, applying the model's per-chunk transform
+    — the chunk-backed counterpart of the resident ``fields()`` getter.
+    ``inv_colmul``: optional full-width per-column inverse applied by
+    ``original_scale`` before the un-normalize (the xMCA coslat
+    inverse).  The OUTPUT is full-size by contract (reference parity:
+    xmca/array.py:898-913 returns ndarrays); out-of-core models pay
+    that host allocation only when the user explicitly asks for the
+    data back.
+    """
+    from xmca_tpu.utils.transfer import to_numpy as _to_np
+
+    H = _fast.hilbert_imag_matrix_device(n_obs, np.dtype(dtype)) \
+        if complexify else jnp.zeros((0, 0), dtype)
+    parts, off = [], 0
+    for chunk in loader():
+        chunk, wp, wt = _put_chunk(chunk, dtype, mesh)
+        w, has_w = _weight_slice(weights, off, wt, wp, dtype)
+        inv_w, has_inv = _weight_slice(inv_colmul, off, wt, wp, dtype)
+        off += wt
+        z = _fields_chunk(
+            chunk, w, H, inv_w, complexify=complexify,
+            normalize=normalize, has_w=has_w, original=original_scale,
+            has_inv=has_inv,
+        )
+        parts.append((z, wt))
+    return np.concatenate(
+        [_to_np(z)[:, :wt] for z, wt in parts], axis=1
+    )
+
+
+@partial(jax.jit, static_argnames=('normalize', 'has_w'))
+def _pattern_chunk(chunk, w, Sc, s_norm, *, normalize, has_w):
+    """One chunk of a correlation map: Pearson r of the chunk's
+    (transformed) columns against the centered PC series."""
+    cc, _, _, _ = _transform_chunk(
+        chunk, w, normalize=normalize, has_w=has_w
+    )
+    num = jnp.matmul(cc.T, Sc, precision=_HI)
+    xnorm = jnp.linalg.norm(cc, axis=0)
+    return num / (xnorm[:, None] * s_norm[None, :])
+
+
+def streamed_patterns(loader, n_obs, Sc, s_norm, *, weights=None,
+                      normalize=False, dtype=jnp.float32, mesh=None):
+    """Correlation map of a streamed field against centered PC series.
+
+    ``Sc``: device ``(n_obs, k)`` CENTERED real PC series (phase shift
+    already applied), ``s_norm``: their column L2 norms.  One pass over
+    the loader; per chunk the Pearson contraction
+    ``num = Xc^T Sc``, ``r = num / (||Xc|| ||Sc||)`` runs on device —
+    chunk-local, exactly the resident `_pattern_kernel` contraction
+    split along columns (api/array.py).  Dropped (NaN) columns emerge
+    as 0/0 = NaN rows and are packed out by the caller.  Returns the
+    full-width host ``(p, k)`` map.
+    """
+    from xmca_tpu.utils.transfer import to_numpy as _to_np
+
+    parts, off = [], 0
+    for chunk in loader():
+        chunk, wp, wt = _put_chunk(chunk, dtype, mesh)
+        w, has_w = _weight_slice(weights, off, wt, wp, dtype)
+        off += wt
+        r = _pattern_chunk(chunk, w, Sc, s_norm,
+                           normalize=normalize, has_w=has_w)
+        parts.append((r, wt))
+    return np.concatenate(
+        [_to_np(r)[:wt] for r, wt in parts], axis=0
+    )
+
+
 @jax.jit
 def _fold_score_hilbert(A, H):
     """Analytic PC series from the real-data accumulator:
@@ -260,7 +420,8 @@ def _fold_score_hilbert(A, H):
 
 def streamed_mca(chunks_left, chunks_right, n_obs, n_modes, *,
                  complexify=False, key=None, n_iter=12,
-                 jitter_rel=1e-6, dtype=jnp.float32, mesh=None):
+                 jitter_rel=1e-6, dtype=jnp.float32, mesh=None,
+                 weights=None, normalize=False):
     """Truncated (complex) MCA of two streamed fields.
 
     Parameters
@@ -277,6 +438,9 @@ def streamed_mca(chunks_left, chunks_right, n_obs, n_modes, *,
         run as per-device partial matmuls + an XLA psum over ICI:
         out-of-core AND multi-chip at once (chunks can be as wide as
         the mesh's aggregate HBM allows).
+    weights : {'left'/'right': scalar | (p,) vector | None}, optional —
+        per-column ``apply_weights`` scaling applied inside every pass.
+    normalize : bool — divide each column by its raw std (``normalize``).
 
     Returns
     -------
@@ -284,30 +448,35 @@ def streamed_mca(chunks_left, chunks_right, n_obs, n_modes, *,
     (complex for analytic solves), assembled chunk by chunk; exact
     spectrum totals (nuclear norm / squared Frobenius norm of the
     reduced kernel — the Rule-N / explained-variance / scf scales);
-    and the unwhitened device-resident PC series ``Xz V`` accumulated
+    the unwhitened device-resident PC series ``Xz V`` accumulated
     during the projection pass (so the public result layer works
-    without ever re-reading the streamed data).
+    without ever re-reading the streamed data); and the device-resident
+    real centered Grams + pre-Hilbert scores the streamed
+    bootstrap/deflation algebra consumes.
     """
     from xmca_tpu.utils.transfer import to_numpy as _to_np
 
     if key is None:
         key = jax.random.PRNGKey(0)
     bivariate = chunks_right is not None
+    weights = weights or {}
     # ONE device-resident Hilbert operator for both fields
     H = _fast.hilbert_imag_matrix_device(n_obs, np.dtype(dtype)) \
         if complexify else None
 
-    means, stds, keeps = {}, {}, {}
+    means, stds, keeps, grams = {}, {}, {}, {}
 
     def field_gram(loader, side):
         G, p, means[side], stds[side], keeps[side] = streamed_gram(
-            loader(), n_obs, dtype, mesh=mesh
+            loader(), n_obs, dtype, mesh=mesh,
+            weights=weights.get(side), normalize=normalize,
         )
         if p == 0:
             raise RuntimeError(
                 'the %s field has no NaN-free columns — nothing to '
                 'decompose.' % side
             )
+        grams[side] = G
         # fold + jitter run under jit (eager complex ops are unsafe on
         # axon); the jitter floor scales with the CONTRACTED width p
         return _fold_jitter(
@@ -326,20 +495,29 @@ def streamed_mca(chunks_left, chunks_right, n_obs, n_modes, *,
     score_dtype = (_fast._complex_dtype(dtype) if complexify
                    else np.dtype(dtype))
 
-    def recover(loader, L_chol, T_side, keep):
+    def recover(loader, L_chol, T_side, keep, side):
         Z = _recovery_weights(L_chol, T_side, H,
                               complexify=complexify).astype(dtype)
         A = _zeros_dev(shape=(n_obs, int(T_side.shape[1])),
                        dtype=np.dtype(score_dtype).str)
         parts = []
+        off = 0
         for c in loader():
-            c, _, wt = _put_chunk(c, dtype, mesh)
-            P, A = _project_chunk(c, Z, A, complexify)
+            c, wp, wt = _put_chunk(c, dtype, mesh)
+            w, has_w = _weight_slice(weights.get(side), off, wt, wp,
+                                     dtype)
+            off += wt
+            P, A = _project_chunk(c, Z, A, w, complexify=complexify,
+                                  normalize=normalize, has_w=has_w)
             # hold the small (p_chunk, k) device results until the loop
             # drains — a blocking readback per chunk would serialize
             # the projection pass on tunneled backends (pad rows are
             # sliced off at materialization)
             parts.append((P, wt))
+        # the pre-fold accumulator is the REAL data's raw scores
+        # ``Xc V`` — the streamed deflation algebra needs it alongside
+        # the analytic ``Xz V`` (for real solves they coincide)
+        A_pre = A
         if complexify:
             A = _fold_score_hilbert(A, H)
         Vf = np.concatenate(
@@ -347,16 +525,21 @@ def streamed_mca(chunks_left, chunks_right, n_obs, n_modes, *,
         )
         # dropped (NaN) columns came through as zero rows — pack them
         # out so the loadings match the in-memory kept-column layout
-        return (Vf if keep.all() else Vf[keep]), A
+        return (Vf if keep.all() else Vf[keep]), A, A_pre
 
-    V_left, S_left = recover(chunks_left, La, U, keeps['left'])
+    V_left, S_left, P_left = recover(
+        chunks_left, La, U, keeps['left'], 'left'
+    )
     if bivariate:
-        V_right, S_right = recover(chunks_right, Lb, V, keeps['right'])
+        V_right, S_right, P_right = recover(
+            chunks_right, Lb, V, keeps['right'], 'right'
+        )
     else:
-        V_right, S_right = V_left, S_left
+        V_right, S_right, P_right = V_left, S_left, P_left
     totals = np.asarray(totals)
     return StreamedMCA(
         np.asarray(s), V_left, V_right,
         float(totals[0]), float(totals[1]), S_left, S_right,
-        means, stds, keeps,
+        means, stds, keeps, grams,
+        {'left': P_left, 'right': P_right},
     )
