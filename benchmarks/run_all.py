@@ -281,6 +281,51 @@ def bench_streamed():
           {'n_space': p, 'chunk': chunk})
 
 
+def bench_result_layer():
+    """Config 9: the result-layer device kernels, regression-tracked.
+
+    Times every fused mode-space getter the round-3 rewrite introduced
+    (api/array.py `_loadings_kernel`/`_scores_*`/`_pattern_kernel`/
+    `_reconstruct_factors_kernel`): eofs, pcs, homogeneous patterns,
+    reconstruction and predict — complex rotated at north-star scale on
+    TPU, real rotated at fixture scale on CPU.  Wall time includes the
+    host materialization (that IS the user-facing getter cost)."""
+    jax, on_tpu = _setup()
+    from xmca_tpu.array import MCA
+    if on_tpu:
+        n_obs, p = 2000, 100_000
+    else:
+        n_obs, p = 492, 684
+    Xl, Xr = _fields(jax, n_obs, p, p)
+    m = MCA(Xl, Xr)
+    if on_tpu:
+        m.set_solver(truncate=12)
+    m.solve(complexify=on_tpu)
+    m.rotate(10)
+    new_left = Xl[:20]
+
+    def paths():
+        return [
+            ('result_pcs_s', lambda: m.pcs(10)),
+            ('result_eofs_s', lambda: m.eofs(10)),
+            ('result_hom_patterns_s',
+             lambda: m.homogeneous_patterns(10)),
+            ('result_reconstructed_fields_s',
+             lambda: m.reconstructed_fields(5)),
+            ('result_predict_s', lambda: m.predict(left=new_left)),
+        ]
+
+    for _, fn in paths():            # warm (compile + basis transfer)
+        fn()
+    for metric, fn in paths():
+        t0 = time.perf_counter()
+        out = fn()
+        wall = time.perf_counter() - t0
+        lead = out['left'] if isinstance(out, dict) else out[0]['left']
+        assert np.isfinite(np.asarray(lead).real).any()
+        _emit(metric, wall, {'n_space': p, 'complex': bool(on_tpu)})
+
+
 ALL = {
     'airtemp': bench_airtemp,
     'rotation': bench_rotation,
@@ -290,6 +335,7 @@ ALL = {
     'hilbert_long': bench_hilbert_long,
     'promax_ensemble': bench_promax_ensemble,
     'streamed': bench_streamed,
+    'result_layer': bench_result_layer,
 }
 
 if __name__ == '__main__':

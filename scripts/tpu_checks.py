@@ -197,6 +197,92 @@ def main():
           and np.isfinite(np.abs(pcs)).all()
           and np.isfinite(np.asarray(ms.singular_values(4))).all())
 
+    # ---- 8. GOLDEN-FIXTURE REPLAY ON THE REAL CHIP: the reference's
+    # committed sst x prcp analyses (std / varimax-rotated / complex)
+    # end-to-end through the public API on the TPU f32 shipping path
+    # (truncated subspace solve), asserting the shipping-accuracy
+    # bounds (PARITY.md "Shipping-configuration accuracy") on the real
+    # backend — so on-chip numeric regressions (e.g. the round-3 NS
+    # trailing-mode collapse) are caught by a script, not by luck.
+    # Reference bar being beaten: atol=rtol=1e-3
+    # (/root/reference/tests/integration/test_integration_xarray.py:33-85).
+    fixtures = os.environ.get(
+        'XMCA_REFERENCE_FIXTURES',
+        '/root/reference/tests/integration/fixtures',
+    )
+    if not os.path.isdir(fixtures):
+        print('SKIP golden replay (no reference fixtures at %s)'
+              % fixtures)
+        return 1 if failures else 0
+
+    from xmca_tpu.compat import open_dataarray
+    from xmca_tpu.xarray import xMCA
+
+    def align(ours, ref):
+        o, r = np.asarray(ours), np.asarray(ref)
+        fo = o.reshape(-1, o.shape[-1])
+        fr = r.reshape(-1, r.shape[-1])
+        valid = ~np.isnan(fr[:, 0])
+        ip = np.nansum(np.conj(fo[valid]) * fr[valid], axis=0)
+        d = np.abs(ip)
+        return o * np.where(d > 0, ip / np.where(d > 0, d, 1), 1.0)
+
+    sst = open_dataarray(os.path.join(fixtures, 'sst.nc'))
+    prcp = open_dataarray(os.path.join(fixtures, 'prcp.nc'))
+    K_CHECK = 20                      # the TPU shipping config:
+    #                                   truncated subspace solve
+
+    def golden(flavor, cplx, n_rot, sval_tol, eof_tol):
+        sv = np.asarray(open_dataarray(
+            os.path.join(fixtures, flavor, 'singular_values.nc')
+        ))[:K_CHECK]
+        m = xMCA(sst, prcp)
+        m.set_field_names('sst', 'prcp')
+        m.set_solver(truncate=K_CHECK)
+        m.solve(complexify=cplx)
+        if n_rot:
+            m.rotate(n_rot)
+        vals = np.asarray(m.singular_values(K_CHECK).values)
+        sv_err = float(np.abs(vals - sv).max() / sv.max())
+        check('golden %s singular values on-chip' % flavor,
+              sv_err < sval_tol, f'(rel {sv_err:.2e})')
+        eof_err = 0.0
+        for side, name in (('left', 'sst'), ('right', 'prcp')):
+            # the fixture files store UNROTATED eofs (the reference's
+            # save_analysis always does, xmca/xarray.py:1277-1279)
+            ref = np.asarray(open_dataarray(
+                os.path.join(fixtures, flavor, '%s_eofs.nc' % name)
+            ))[..., :K_CHECK]
+            ours = np.asarray(
+                m.eofs(K_CHECK, rotated=False)[side].values
+            )
+            d = np.abs(align(ours, ref) - ref)
+            eof_err = max(eof_err, float(np.nanmax(d)))
+        check('golden %s eofs on-chip' % flavor, eof_err < eof_tol,
+              f'(abs {eof_err:.2e})')
+        pcs = m.pcs(4)
+        check('golden %s pcs finite on-chip' % flavor,
+              all(np.isfinite(np.abs(np.asarray(p.values))).all()
+                  for p in pcs.values()))
+        if n_rot:
+            var = np.asarray(m.variance(n_rot).values)
+            check('golden %s rotated variance on-chip' % flavor,
+                  bool(np.isfinite(var).all()
+                       and (np.diff(var) <= 1e-6).all()))
+        return m
+
+    # bounds = CPU-measured shipping table (PARITY.md) with ~4x margin
+    # for the chip's own accumulation order
+    golden('std', False, 0, 1e-5, 5e-5)
+    m_rot = golden('rot', False, 10, 1e-5, 2e-4)
+    golden('cplx', True, 0, 1e-4, 1e-3)
+
+    # one small rotated Rule-N on the fixture analysis
+    surr = np.asarray(m_rot.rule_n(8, seed=5, disable_progress=True))
+    check('golden rot rule_n on-chip',
+          np.isfinite(surr).all() and surr.shape[0] == 10
+          and surr.shape[1] >= 6, f'(kept {surr.shape[1]}/8)')
+
     return 1 if failures else 0
 
 

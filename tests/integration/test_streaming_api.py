@@ -125,12 +125,64 @@ def test_streamed_predict_matches_in_memory(disk_fields):
                     mm.predict(left=new, n=4)['left'], atol=1e-8)
 
 
-def test_streamed_bootstrap_guard(disk_fields):
-    # streamed bootstrapping lands with the Gram-space resampler; until
-    # then the guard must be explicit, not a confusing AttributeError
-    ms = _streamed(disk_fields)
-    with pytest.raises(RuntimeError, match='chunk-backed'):
-        ms.bootstrapping(2, n_modes=2, disable_progress=True)
+def _boot_kwargs(**kw):
+    base = dict(disable_progress=True)
+    base.update(kw)
+    return base
+
+
+@pytest.mark.parametrize('config', [
+    # (complexify, rotated, kwargs) — resident and streamed bootstraps
+    # share the seed, so the block draws are identical run for run and
+    # the spectra agree to subspace-iteration accuracy
+    (False, False, dict(n_modes=4, seed=7)),
+    (False, True, dict(n_modes=3, seed=3)),
+    (True, True, dict(n_modes=3, seed=11, on_left=True, on_right=True,
+                      block_size=4)),
+    (False, True, dict(n_modes=3, seed=5, strategy='iterative')),
+    (False, True, dict(n_modes=3, seed=9, axis=1, on_left=True,
+                       on_right=True)),
+    (True, True, dict(n_modes=3, seed=4, axis=1, on_left=False,
+                      on_right=True, block_size=4)),
+    (False, True, dict(n_modes=3, seed=6, axis=1,
+                       strategy='iterative')),
+    (False, True, dict(n_modes=3, seed=8, replace=False,
+                       block_size=8)),
+])
+def test_streamed_bootstrap_matches_in_memory(disk_fields, config):
+    complexify, rotated, kwargs = config
+    mm = _in_memory(disk_fields, complexify=complexify)
+    ms = _streamed(disk_fields, complexify=complexify)
+    if rotated:
+        mm.rotate(3)
+        ms.rotate(3)
+    br = mm.bootstrapping(3, **_boot_kwargs(**kwargs))
+    bs = ms.bootstrapping(3, **_boot_kwargs(**kwargs))
+    assert br.shape == bs.shape
+    assert_allclose(bs, br, rtol=2e-4, atol=1e-6)
+
+
+def test_streamed_bootstrap_preprocessed(disk_fields):
+    """Normalize + weights flow through the streamed Gram resampler."""
+    p = N_LAT * N_LON
+    w = 0.5 + np.random.default_rng(1).random(p)
+    mm = MCA(disk_fields['left'][1], disk_fields['right'][1])
+    mm.set_solver(truncate=K)
+    ms = MCA.from_chunks(
+        _loader(disk_fields['left'][0], 97),
+        _loader(disk_fields['right'][0], 97),
+        n_observations=N_OBS, left_shape=(N_LAT, N_LON),
+        right_shape=(N_LAT, N_LON),
+    )
+    ms.set_solver(truncate=K)
+    for m in (mm, ms):
+        m.normalize()
+        m.apply_weights(left=w, right=2.0)
+        m.solve()
+        m.rotate(3)
+    br = mm.bootstrapping(3, n_modes=3, seed=13, disable_progress=True)
+    bs = ms.bootstrapping(3, n_modes=3, seed=13, disable_progress=True)
+    assert_allclose(bs, br, rtol=2e-4, atol=1e-6)
 
 
 def test_streamed_normalize_matches_in_memory(disk_fields):

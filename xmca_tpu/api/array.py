@@ -518,12 +518,16 @@ class MCA:
 
         ``solve`` runs the streamed pipeline (``set_solver(truncate=k)``
         selects the mode count, default 20; plain or Hilbert-complex).
-        Everything derived from the decomposition — eofs, pcs, rotate,
-        rule_n, predict — works; methods that need the full data matrix
-        resident (``fields``, correlation patterns, reconstruction,
-        bootstrapping, normalize/apply_weights, and ``save_analysis`` —
-        the reference's on-disk format stores the fields themselves)
-        raise.  Pre-scale inside the loaders instead of ``normalize``.
+        The FULL public surface works on chunk-backed models:
+        preprocessing (``normalize``/``apply_weights``/coslat) applies
+        per chunk inside every pass; getters consume the solve-time
+        score accumulators; correlation patterns and ``fields`` re-read
+        the loaders one pass at a time; ``bootstrapping`` resamples in
+        Gram space (time-axis rounds need no data pass at all —
+        xmca_tpu.stats.streaming_boot); ``save_analysis`` writes the
+        reference's full-size on-disk format via the streamed fields
+        pass.  Only ``extend`` boundary forecasts are rejected (they
+        need every column's full series at once).
         """
         model = cls()
         model._keys = ['left'] if right is None else ['left', 'right']
@@ -2000,6 +2004,12 @@ class MCA:
                          axis, on_left, on_right, block_size, replace,
                          complexify, extend, period, is_rotated, n_rot,
                          power, n_modes_max, seed, progress, tol):
+        if self._is_chunk_backed():
+            return self._bootstrap_modes_streamed(
+                var_surr, n_mode_iters, n_runs, strategy, axis, on_left,
+                on_right, block_size, replace, complexify, is_rotated,
+                n_rot, power, n_modes_max, seed, progress, tol,
+            )
         for mode in range(n_mode_iters):
             X_surr = self._get_X_dev(real=True)
             if strategy == 'iterative':
@@ -2028,6 +2038,64 @@ class MCA:
             )
             # reference semantics: non-converged rotations leave this
             # mode's rows untouched (skip), xmca/array.py:1939-1943
+            var_surr[mode:, converged] = spectra[converged].T
+
+            if strategy == 'standard':
+                break
+
+    def _bootstrap_modes_streamed(self, var_surr, n_mode_iters, n_runs,
+                                  strategy, axis, on_left, on_right,
+                                  block_size, replace, complexify,
+                                  is_rotated, n_rot, power, n_modes_max,
+                                  seed, progress, tol):
+        """Chunk-backed bootstrap rounds: Gram-space resampling.
+
+        The per-mode Winkler deflation stays in mode space —
+        ``G_defl = G - B - B^T + S C S^T`` assembled from the
+        solve-time score accumulators and the resident basis
+        (xmca_tpu.stats.streaming_boot.deflated_gram) — so axis=0
+        rounds need NO pass over the data at all (rotated rounds add
+        one streamed projection pass per run batch); axis=1 rounds
+        accumulate counts-weighted Grams in one pass per batch.
+        """
+        from xmca_tpu.stats.streaming_boot import (
+            bootstrap_spectra_streamed, deflated_gram)
+        weights, normalize = self._stream_transform()
+        dtype = getattr(self, '_stream_dtype', np.dtype('float32'))
+        grams = self._stream_grams
+        pre = self._stream_scores_pre
+        pool = self._analysis['n_rot']
+        col_w, _ = self._rotation_weights(pool)
+        inv_norm = self._get_norm(pool, sorted=False)
+
+        for mode in range(n_mode_iters):
+            deflate = None
+            g_iter = grams
+            if strategy == 'iterative' and mode > 0:
+                deflate, g_iter = {}, {}
+                for k in self._keys:
+                    S, W = self._reconstruct_factors_dev(k, mode)
+                    XcW = _loadings_kernel(
+                        pre[k], col_w, self._rotation_dev(),
+                        1.0 / inv_norm[k], self._var_idx, pool=pool,
+                    )[:, :mode]
+                    deflate[k] = (S, W, XcW)
+                    g_iter[k] = deflated_gram(grams[k], XcW, S, W)
+
+            spectra, converged = bootstrap_spectra_streamed(
+                self._chunk_loaders, self._no_nan_index, g_iter,
+                self._n_observations['left'], n_runs,
+                n_modes_max - mode,
+                weights=weights, normalize=normalize, axis=axis,
+                on_left=on_left, on_right=on_right,
+                block_size=block_size, replace=replace,
+                complexify=complexify, rotated=is_rotated, n_rot=n_rot,
+                power=power, tol=tol, seed=seed + mode,
+                batch_size=self._ensemble_batch_size,
+                subspace_iters=self._subspace_iters, dtype=dtype,
+                deflate=deflate, mesh=self._ensemble_mesh,
+                progress=progress,
+            )
             var_surr[mode:, converged] = spectra[converged].T
 
             if strategy == 'standard':
