@@ -185,3 +185,84 @@ def test_rulen_generated_rademacher8_end_to_end():
     )
     assert spectra.shape[1] == 4 and np.isfinite(spectra).all()
     assert np.isfinite(totals).all() and (totals > 0).all()
+
+
+def test_bits_field_rademacher1_distribution():
+    """'rademacher1' expands one random bit per element into the same
+    +-1 int8 distribution as 'rademacher8' (fair independent signs)."""
+    from xmca_tpu.ops.surrogate import bits_field
+
+    n, p = 256, 1001                     # p % 8 != 0: exercises the pad
+    X = bits_field(jnp.int32(9), (n, p), dist='rademacher1')
+    assert X.shape == (n, p) and X.dtype == jnp.int8
+    Xf = np.asarray(X).astype(np.float64)
+    assert set(np.unique(Xf)) == {-1.0, 1.0}
+    # fair signs: mean ~ 0 at the 5-sigma level of n*p Bernoulli trials
+    m = Xf.mean()
+    assert abs(m) < 5.0 / np.sqrt(n * p)
+    # the 8 bit positions of one byte must be independent columns, not
+    # copies: adjacent-column correlation stays at noise level
+    corr = (Xf[:, :-1] * Xf[:, 1:]).mean()
+    assert abs(corr) < 5.0 / np.sqrt(n * (p - 1))
+    # column means individually unbiased (catches a bit-order bug that
+    # would constant-bias a position)
+    col_m = np.abs(Xf.mean(axis=0))
+    assert np.quantile(col_m, 0.99) < 4.0 / np.sqrt(n)
+
+
+def test_rulen_generated_rademacher1_end_to_end():
+    """The public generated pipeline accepts dist='rademacher1'."""
+    from xmca_tpu.stats import significance as sig
+    spectra, totals = sig.rule_n_spectra(
+        96, (64, 48), 6, complexify=True, rotated=True, n_rot=4,
+        dtype=np.float32, seed=3, spectrum='fast', subspace_iters=8,
+        surrogate_source='generated', surrogate_dist='rademacher1',
+    )
+    assert spectra.shape[1] == 4 and np.isfinite(spectra).all()
+    assert np.isfinite(totals).all() and (totals > 0).all()
+
+
+def test_syrk_matches_dense_exactly():
+    """The Pallas triangle syrk (interpret mode on CPU) is EXACT for
+    +-1 values: bf16 holds them exactly and the f32 accumulator is
+    exact for partial sums < 2^24."""
+    from xmca_tpu.ops.syrk import pad_to, syrk
+
+    n, p = 96, 700
+    n_pad, p_pad = pad_to(n, p)
+    rng = np.random.default_rng(1)
+    X = rng.choice([-1.0, 1.0], size=(n_pad, p_pad)).astype(np.float32)
+    X[n:] = 0.0
+    X[:, p:] = 0.0                     # zeroed pads like the pipeline
+    G = np.asarray(syrk(jnp.asarray(X, jnp.bfloat16), interpret=True))
+    ref = X @ X.T
+    np.testing.assert_array_equal(G, ref)
+    np.testing.assert_array_equal(G, G.T)
+
+
+def test_fast_surrogate_variance_tri_contract():
+    """The triangle-Gram surrogate pipeline (the TPU production path)
+    runs under Pallas interpret mode and returns a sorted, finite,
+    converged spectrum — same contract as the int8 variant."""
+    from xmca_tpu.core.fastpath import (fast_surrogate_variance_int8,
+                                        fast_surrogate_variance_tri,
+                                        hilbert_imag_matrix_device)
+
+    k = jax.random.PRNGKey(0)
+    H = hilbert_imag_matrix_device(96, np.float32)
+    var, total, conv = fast_surrogate_variance_tri(
+        jnp.int32(7), k, 96, (64, 48), H=H, complexify=True,
+        rotated=True, n_rot=4, power=1, tol=1e-6, n_iter=8,
+    )
+    var = np.asarray(var)
+    assert var.shape == (4,) and np.isfinite(var).all()
+    assert (np.diff(var) <= 1e-12).all()       # sorted descending
+    assert float(total) > 0 and bool(conv)
+    # same null-model family as the int8 pipeline: totals of matched
+    # configs agree to the Monte-Carlo scale of a single draw
+    var8, total8, conv8 = fast_surrogate_variance_int8(
+        jnp.int32(7), k, 96, (64, 48), H=H, complexify=True,
+        rotated=True, n_rot=4, power=1, tol=1e-6, n_iter=8,
+    )
+    assert bool(conv8)
+    assert abs(float(total) - float(total8)) < 0.5 * float(total8)

@@ -62,6 +62,15 @@ def _sub_dev(a, b):
 
 
 @jax.jit
+def _pack_solve_scalars(s, total_cov, total_sq):
+    """(svals, cov, sq) as ONE flat real vector — a single host
+    transfer instead of three (each tunnel roundtrip costs ~30 ms)."""
+    return jnp.concatenate([
+        s, jnp.stack([total_cov, total_sq]).astype(s.dtype)
+    ])
+
+
+@jax.jit
 def _mul_dev(a, b):
     return a * b
 
@@ -288,7 +297,8 @@ class MCA:
         self._surrogate_dtype = None
         self._surrogate_source = None          # auto (see rule_n)
         self._ensemble_tol = None              # auto (see rule_n)
-        self._surrogate_gen_dist = 'normal16'
+        self._surrogate_gen_dist = None        # auto (see rule_n)
+        self._ensemble_subspace_iters = None   # auto (see rule_n)
 
     # ------------------------------------------------------------ ingestion
     def _set_field_meta(self, data):
@@ -364,7 +374,8 @@ class MCA:
                    ensemble_axis='ensemble', spectrum=None,
                    subspace_iters=None, truncate=None, seed=None,
                    surrogate_dtype=None, surrogate_source=None,
-                   surrogate_gen_dist=None, ensemble_tol=None):
+                   surrogate_gen_dist=None, ensemble_tol=None,
+                   ensemble_subspace_iters=None):
         """Configure the TPU solver (extension over the reference API).
 
         Parameters
@@ -391,6 +402,13 @@ class MCA:
             default on TPU.
         subspace_iters : int, optional
             Power-iteration count of the 'fast' spectrum path (default 12).
+        ensemble_subspace_iters : int, optional
+            Power-iteration count inside Monte-Carlo ensembles only.
+            Default (None) is automatic: 6 on the TPU generated-noise
+            Rule-N path (noise kernels have benign spectra; the null
+            q95 shifts by ~0.1% vs 12 iterations — 50x below the
+            quantile's own Monte-Carlo noise), else ``subspace_iters``.
+            The analysis' own solve always uses ``subspace_iters``.
         truncate : int, optional
             Solve only the leading `truncate` modes using the matmul-only
             subspace pipeline (the TPU path for very large fields,
@@ -419,16 +437,24 @@ class MCA:
             cheaper than a Gaussian draw, which dominates the
             per-surrogate cost at production shapes.
         surrogate_gen_dist : {'normal16', 'normal32', 'rademacher',
-            'rademacher8'}, optional.  Draw distribution of generated
-            surrogates.  'normal16' (default) and 'normal32' are
+            'rademacher8', 'rademacher1'}, optional.  Draw distribution
+            of generated surrogates.  'normal16' and 'normal32' are
             popcount-binomials matched to N(0, 1) in their first three
             moments (excess kurtosis -1/8 and -1/16; the 16-bit variant
             halves the generated random bits); 'rademacher' is +-1 in
-            bfloat16; 'rademacher8' stores +-1 as int8 so the
-            data-sized Gram runs the MXU's s8 x s8 -> s32 mode (2x
-            rate, integer-exact accumulation).  Null spectra are
-            universal in the first two moments at these dimensions;
-            equivalence to Gaussian draws is measured in
+            bfloat16; 'rademacher8' (the TPU default since round 4)
+            stores +-1 as int8 and feeds the Pallas triangle-syrk Gram
+            on TPU (lower-triangle blocks only — the Gram is the
+            per-surrogate dominant op and XLA cannot exploit its
+            symmetry); 'rademacher1' is the same +-1 int8 distribution
+            from ONE random bit per element (8x fewer generated bits,
+            but measured slower end-to-end — the bit expansion wrecks
+            the draw+Gram fusion layout; kept as a documented
+            alternative).  Measured q95 shift of the +-1 null vs
+            'normal16': <0.2%, 40x below the Monte-Carlo noise of the
+            quantile itself.  Null spectra are universal in the first
+            two moments at these dimensions; equivalence to Gaussian
+            draws is measured in
             tests/integration/test_significance.py.
         ensemble_tol : float, optional
             Convergence tolerance of the rotation inside Monte-Carlo
@@ -460,6 +486,8 @@ class MCA:
             self._ensemble_spectrum = spectrum
         if subspace_iters is not None:
             self._subspace_iters = subspace_iters
+        if ensemble_subspace_iters is not None:
+            self._ensemble_subspace_iters = int(ensemble_subspace_iters)
         if truncate is not None:
             self._solver_truncate = int(truncate)
         if seed is not None:
@@ -474,10 +502,12 @@ class MCA:
             self._surrogate_source = surrogate_source
         if surrogate_gen_dist is not None:
             if surrogate_gen_dist not in ('normal16', 'normal32',
-                                          'rademacher', 'rademacher8'):
+                                          'rademacher', 'rademacher8',
+                                          'rademacher1'):
                 raise ValueError(
                     "surrogate_gen_dist must be 'normal16', "
-                    "'normal32', 'rademacher' or 'rademacher8'"
+                    "'normal32', 'rademacher', 'rademacher8' or "
+                    "'rademacher1'"
                 )
             self._surrogate_gen_dist = surrogate_gen_dist
         if ensemble_tol is not None:
@@ -671,10 +701,24 @@ class MCA:
             return
         weights = {'left': left, 'right': right}
         weights = {k: 1 if w is None else w for k, w in weights.items()}
+        self._note_possible_nan(
+            w for w in weights.values() if w is not None
+        )
         self._fields = {
             k: _mul_dev(f, jnp.asarray(np.asarray(weights[k])))
             for k, f in self._fields.items()
         }
+
+    def _note_possible_nan(self, host_arrays):
+        """Mark the fields as possibly NaN-poisoned (re-arms solve's
+        reference-parity all-NaN guard) when a host-side multiplier
+        contains NaN."""
+        try:
+            if any(np.isnan(np.asarray(a, dtype=float)).any()
+                   for a in host_arrays):
+                self._nan_guard_dirty = True
+        except (TypeError, ValueError):
+            self._nan_guard_dirty = True
 
     def normalize(self):
         """Normalize each time series by its standard deviation.
@@ -686,8 +730,13 @@ class MCA:
         """
         if not self._is_chunk_backed():
             for k in self._keys:
+                stds = np.asarray(self._field_stds[k])
+                if (stds == 0).any() or np.isnan(stds).any():
+                    # zero-std columns divide to NaN (reference
+                    # behavior) — re-arm solve's all-NaN guard
+                    self._nan_guard_dirty = True
                 self._fields[k] = _pre.standardize(
-                    self._fields[k], jnp.asarray(self._field_stds[k])
+                    self._fields[k], jnp.asarray(stds)
                 )
         self._analysis['is_normalized'] = True
         self._analysis['is_coslat_corrected'] = False
@@ -852,11 +901,18 @@ class MCA:
         """
         if self._is_chunk_backed():
             return self._solve_streamed(complexify, extend, period)
-        if len(self._fields) == 0:
+        if len(self._fields) == 0 or any(
+            f.size == 0 for f in self._fields.values()
+        ):
             raise RuntimeError(
                 'Fields are empty. Did you forget to load data?'
             )
-        if any(
+        # reference guard parity (xmca/array.py:533: np.isnan(X).all()):
+        # packed fields carry no NaN by construction, so the device scan
+        # only matters after a NaN-introducing mutation (NaN weights,
+        # zero-std normalize) — tracked host-side; the scan's two
+        # blocking tunnel roundtrips (~0.1 s) stay off the hot path
+        if getattr(self, '_nan_guard_dirty', False) and any(
             bool(_all_nan_dev(field))
             for field in self._fields.values()
         ):
@@ -1010,15 +1066,14 @@ class MCA:
                     Xl, Xr, key, n_modes=k, n_iter=self._subspace_iters
                 )
         # Vl/Vr stay on device (complex device->host transfers are split
-        # and deferred to the lazy `_V` materialization); the two scalar
-        # totals come back in ONE stacked transfer instead of two
-        # round trips through the tunnel.
+        # and deferred to the lazy `_V` materialization); the svals and
+        # the two scalar totals come back in ONE flat transfer instead
+        # of three round trips through the tunnel.
         Vs = [Vl]
         if len(fields) == 2:
             Vs.append(Vr)
-        totals = np.asarray(jnp.stack([total_cov, total_sq]))
-        return (np.asarray(s), Vs,
-                (float(totals[0]), float(totals[1])))
+        flat = np.asarray(_pack_solve_scalars(s, total_cov, total_sq))
+        return (flat[:-2], Vs, (float(flat[-2]), float(flat[-1])))
 
     def _solve_streamed(self, complexify, extend, period):
         """Out-of-core solve of a chunk-backed model.
@@ -1887,6 +1942,14 @@ class MCA:
         # noise criteria are well-conditioned (sigma/fro ~ k^-1/2)
         polar = 'ns14' if (source == 'generated' and tol >= 1e-4) \
             else 'ns'
+        # auto: noise kernels have benign spectra — 6 subspace
+        # iterations shift the null q95 by ~0.1% (50x below its own
+        # Monte-Carlo noise; see set_solver(ensemble_subspace_iters))
+        ens_iters = self._ensemble_subspace_iters
+        if ens_iters is None:
+            ens_iters = 6 if (source == 'generated'
+                              and jax.default_backend() == 'tpu') \
+                else self._subspace_iters
         progress, close = self._progress_bar(n_runs, disable_progress)
         try:
             spectra, totals = _sig.rule_n_spectra(
@@ -1902,9 +1965,21 @@ class MCA:
                 ensemble_axis=self._ensemble_axis,
                 spectrum=self._ensemble_spectrum,
                 n_modes_fast=n_modes_fast,
-                subspace_iters=self._subspace_iters,
+                subspace_iters=ens_iters,
                 surrogate_source=source,
-                surrogate_dist=self._surrogate_gen_dist,
+                # auto dist: one random byte per +-1 element on the
+                # TPU generated path — feeds the Pallas triangle-syrk
+                # Gram; same null distribution as 'normal16' to <0.2%
+                # q95 (see set_solver(surrogate_gen_dist)).
+                # 'rademacher1' measured SLOWER end-to-end despite 8x
+                # fewer generated bits (the bit expansion wrecks the
+                # draw+Gram fusion layout).  'normal16' elsewhere for
+                # exact three-moment matching.
+                surrogate_dist=(self._surrogate_gen_dist
+                                or ('rademacher8'
+                                    if source == 'generated'
+                                    and jax.default_backend() == 'tpu'
+                                    else 'normal16')),
                 progress=progress,
             )
         finally:

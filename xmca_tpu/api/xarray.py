@@ -284,8 +284,12 @@ class xMCA(MCA):
                 )
             cols = self._weight_columns(k, weight)
             if cols is None:
+                # rare host fallback: re-arm solve's all-NaN guard
+                # unconditionally rather than scan the full field
+                self._nan_guard_dirty = True
                 self._apply_weights_host(k, weight)
             else:
+                self._note_possible_nan([cols])
                 self._fields[k] = _scale_columns_dev(
                     self._fields[k], jnp.asarray(cols)
                 )

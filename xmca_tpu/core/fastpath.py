@@ -35,7 +35,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from xmca_tpu.core.linalg import ns_polar_iterate
+from xmca_tpu.core.linalg import (ns_polar_iterate_scaled,
+                                  ns_polar_schedule)
 
 # Gram/kernel contractions feed Cholesky and Ritz extraction; on TPU the
 # default f32 matmul runs in bf16 passes (~1e-4 relative error), which is
@@ -460,35 +461,43 @@ def subspace_svd(M, key, k, n_iter=8, oversample=16, orth=None):
     return U[:, :k], s[:k], V[:, :k]
 
 
-@partial(jax.jit, static_argnames=('n_iter',))
-def nuclear_norm(M, n_iter=50):
-    """``sum(svals(M))`` via the Newton-Schulz polar iteration.
+# scale schedules are host constants of (l0, tol): the parity-grade
+# schedule converges sigma_min/fro = 1e-9 (the jitter-floor regime) to
+# 1e-8 — the old unscaled fixed-50 iteration could not even reach O(1)
+# from there (1.5^50 < 1e9); the surrogate-grade schedule stops at 1e-3
+_NS_SCALES_EXACT = tuple(ns_polar_schedule(l0=1e-9, tol=1e-8))
+_NS_SCALES_SURR = tuple(ns_polar_schedule(l0=1e-7, tol=1e-4))
 
-    ``W <- 1.5 W - 0.5 W W^H W`` drives all singular values of the scaled
-    iterate to 1; the nuclear norm is then ``Re tr(W^H M)``.  Pure matmuls
-    — no factorization at all.  Relative accuracy ~1e-5 after ~50
-    iterations (tiny singular values converge last but contribute least).
+
+@jax.jit
+def nuclear_norm(M):
+    """``sum(svals(M))`` via the SCALED Newton-Schulz polar iteration.
+
+    ``W <- 1.5 s W - 0.5 s^3 W W^H W`` with the greedy minimax scale
+    schedule (xmca_tpu.core.linalg.ns_polar_schedule) drives all
+    singular values of the Frobenius-prescaled iterate to 1; the
+    nuclear norm is then ``Re tr(W^H M)``.  Pure matmuls — no
+    factorization at all.  The schedule covers sigma_min/fro down to
+    1e-9 in ~27 steps at HIGHEST precision — ~2x fewer matmuls than
+    the previous fixed-50 unscaled iteration AND convergent in the
+    tiny-singular-value regime where that one was not.
     """
-    W = ns_polar_iterate(M, n_iter, dot=_dot_hi)
+    W = ns_polar_iterate_scaled(M, _NS_SCALES_EXACT, dot=_dot_hi)
     return jnp.real(jnp.trace(_dot_hi(W.conj().T, M)))
 
 
-@partial(jax.jit, static_argnames=('n_iter',))
-def nuclear_norm_surrogate(M, n_iter=24):
+@jax.jit
+def nuclear_norm_surrogate(M):
     """Cheap nuclear norm for per-surrogate rescaling totals.
 
-    Same Newton-Schulz trace as :func:`nuclear_norm` but at the MXU's
-    default f32 precision (bf16 passes, ~1e-4/step) and 24 steps: after
-    Frobenius scaling a noise kernel's singular values sit at
-    ``~n^-1/2`` (0.02 at n=2000), and the small-x map ``x <- 1.5x``
-    grows them into the quadratic basin in ~10 steps, so ~20 steps
-    converge the bulk and the stragglers contribute least to the sum.
-    Accuracy ~1e-3 relative — far below the Monte-Carlo noise of the
-    null-distribution quantiles it rescales.  The analysis' own totals
-    (``total_covariance`` parity) keep the exact 50-step HIGHEST-
-    precision variant.
+    Same scaled Newton-Schulz trace as :func:`nuclear_norm` but at the
+    MXU's default f32 precision (bf16 passes, ~1e-4/step) and the
+    1e-3-tolerance schedule — accuracy far below the Monte-Carlo noise
+    of the null-distribution quantiles it rescales.  The analysis' own
+    totals (``total_covariance`` parity) keep the HIGHEST-precision
+    variant.
     """
-    W = ns_polar_iterate(M, n_iter)
+    W = ns_polar_iterate_scaled(M, _NS_SCALES_SURR)
     return jnp.real(jnp.trace(_dot_hi(W.conj().T, M)))
 
 
@@ -724,20 +733,24 @@ def _int8_centered_gram(X):
 
 @partial(jax.jit,
          static_argnames=('n_obs', 'n_vars', 'complexify', 'rotated',
-                          'n_rot', 'power', 'n_iter', 'polar_method'))
+                          'n_rot', 'power', 'n_iter', 'polar_method',
+                          'dist'))
 def fast_surrogate_variance_int8(seed, key, n_obs, n_vars, H=None,
                                  complexify=False, rotated=False,
                                  n_rot=10, power=1, tol=1e-8, n_iter=8,
-                                 jitter_rel=1e-6, polar_method='ns'):
+                                 jitter_rel=1e-6, polar_method='ns',
+                                 dist='rademacher8'):
     """One Rule-N surrogate solve from ±1 int8 draws.
 
-    The ``surrogate_gen_dist='rademacher8'`` pipeline: draws cost one
-    random byte per element, the data-sized Gram runs in the MXU's
-    int8 mode via :func:`_int8_centered_gram`, and everything
-    downstream (analytic fold, Cholesky reduction, subspace SVD,
-    rotation) is the standard f32 n x n algebra.  Null-spectrum
-    equivalence to Gaussian draws rests on the same two-moment
-    universality as 'rademacher' (tests/unit/test_surrogate.py,
+    The ``surrogate_gen_dist='rademacher8'/'rademacher1'`` pipeline:
+    draws cost one random byte (one random BIT for 'rademacher1' —
+    the same distribution on an 8x smaller generated-bit budget) per
+    element, the data-sized Gram runs in the MXU's int8 mode via
+    :func:`_int8_centered_gram`, and everything downstream (analytic
+    fold, Cholesky reduction, subspace SVD, rotation) is the standard
+    f32 n x n algebra.  Null-spectrum equivalence to Gaussian draws
+    rests on the same two-moment universality as 'rademacher'
+    (tests/unit/test_surrogate.py,
     tests/integration/test_significance.py); same contract as
     :func:`fast_surrogate_variance_gen`.
     """
@@ -749,7 +762,7 @@ def fast_surrogate_variance_int8(seed, key, n_obs, n_vars, H=None,
     f_eps = float(np.finfo(np.float32).eps)
 
     def field_gram(fseed, p):
-        X = bits_field(fseed, (n_obs, p), dist='rademacher8')
+        X = bits_field(fseed, (n_obs, p), dist=dist)
         Gc, mu, Xb = _int8_centered_gram(X)
         Gz = _analytic_fold(Gc, H).astype(jnp.complex64) if complexify \
             else Gc
@@ -791,6 +804,115 @@ def fast_surrogate_variance_int8(seed, key, n_obs, n_vars, H=None,
     sqrt_s = jnp.sqrt(s).astype(Vl.dtype)
     if bivariate:
         Vr = spatial(Xb_r, mu_r, Lb, V)
+        L = jnp.concatenate([Vl, Vr], axis=0) * sqrt_s[None, :]
+    else:
+        L = Vl * sqrt_s[None, :]
+    n_vars_left = Vl.shape[0]
+    L_rot, _, _, converged, _ = promax(
+        L, power=power, tol=tol, polar_method=polar_method
+    )
+    norm_left = jnp.linalg.norm(L_rot[:n_vars_left, :], axis=0)
+    if bivariate:
+        norm_right = jnp.linalg.norm(L_rot[n_vars_left:, :], axis=0)
+        variance = norm_left * norm_right
+    else:
+        variance = norm_left ** 2
+    variance = jnp.sort(variance)[::-1]
+    converged = jnp.logical_and(converged, jnp.isfinite(variance).all())
+    return variance, jnp.sum(variance), converged
+
+
+@partial(jax.jit,
+         static_argnames=('n_obs', 'n_vars', 'complexify', 'rotated',
+                          'n_rot', 'power', 'n_iter', 'polar_method',
+                          'dist'))
+def fast_surrogate_variance_tri(seed, key, n_obs, n_vars, H=None,
+                                complexify=False, rotated=False,
+                                n_rot=10, power=1, tol=1e-8, n_iter=8,
+                                jitter_rel=1e-6, polar_method='ns',
+                                dist='rademacher8'):
+    """One Rule-N surrogate solve with the TRIANGLE (syrk) Gram.
+
+    The TPU production pipeline (auto-selected by ``rule_n`` for
+    generated sign/binomial draws): fields are drawn padded to the
+    Pallas syrk's block sizes (pad rows/columns zeroed — they
+    contribute nothing and are sliced away), the temporal Gram runs as
+    lower-triangle blocks only (xmca_tpu.ops.syrk — the Gram is the
+    per-surrogate dominant op and XLA cannot exploit its symmetry),
+    centering is recovered by the rank-1 identity on the raw Gram
+    (exact for ±1/binomial values: bf16 holds them exactly and the
+    f32 accumulation is exact below 2^24), and everything downstream
+    (analytic fold, Cholesky reduction, subspace SVD, rotation) is the
+    standard n x n algebra.  Same contract as
+    :func:`fast_surrogate_variance_int8`; equivalence tested in
+    tests/unit/test_surrogate.py (interpret mode) and on-chip in
+    scripts/tpu_checks.py.
+    """
+    from xmca_tpu.core.rotation import promax
+    from xmca_tpu.ops.surrogate import bits_field
+    from xmca_tpu.ops.syrk import pad_to, syrk
+
+    seed = jnp.asarray(seed).astype(jnp.int32)
+    bivariate = len(n_vars) == 2
+    f_eps = float(np.finfo(np.float32).eps)
+    interpret = jax.default_backend() != 'tpu'
+
+    def field_gram(fseed, p):
+        n_pad, p_pad = pad_to(n_obs, p)
+        X = bits_field(fseed, (n_pad, p_pad), dist=dist)
+        ok = ((jax.lax.broadcasted_iota(jnp.int32, (n_pad, p_pad), 0)
+               < n_obs)
+              & (jax.lax.broadcasted_iota(jnp.int32, (n_pad, p_pad), 1)
+                 < p))
+        Xb = jnp.where(ok, X.astype(jnp.bfloat16), jnp.bfloat16(0))
+        G = syrk(Xb, interpret=interpret)[:n_obs, :n_obs]
+        mu = jnp.sum(Xb, axis=0, dtype=jnp.float32) / n_obs
+        w = _data_dot(Xb, mu.astype(jnp.bfloat16)[:, None])[:n_obs, 0]
+        Gc = G - w[:, None] - w[None, :] + jnp.sum(mu * mu)
+        Gz = _analytic_fold(Gc, H).astype(jnp.complex64) if complexify \
+            else Gc
+        return _jitter(Gz, p, jitter_rel, input_eps=f_eps), mu, Xb
+
+    seeds = [seed * 2, seed * 2 + 1]
+    Gl, mu_l, Xb_l = field_gram(seeds[0], n_vars[0])
+    if bivariate:
+        Gr, mu_r, Xb_r = field_gram(seeds[1], n_vars[1])
+    else:
+        Gr, mu_r, Xb_r = Gl, mu_l, Xb_l
+
+    dof = n_obs - 1
+    La = jnp.linalg.cholesky(Gl)
+    Lb = La if not bivariate else jnp.linalg.cholesky(Gr)
+    M = _dot_hi(La.conj().T, Lb) / dof
+
+    if not rotated:
+        _, s, _ = subspace_svd(M, key, k=n_rot, n_iter=n_iter)
+        total = nuclear_norm_surrogate(M)
+        return s, total, jnp.isfinite(s).all()
+
+    U, s, V = subspace_svd(M, key, k=n_rot, n_iter=n_iter)
+
+    def spatial(Xb, mu, p, L_chol, T_side):
+        T = jax.scipy.linalg.solve_triangular(
+            L_chol.conj().T, T_side, lower=False
+        )
+        if complexify:
+            S_stack = analytic_projection_stack(T, H).astype(
+                jnp.float32
+            )
+        else:
+            S_stack = jnp.real(T).astype(jnp.float32)
+        # pad the (n_obs, k) weights to the padded row count
+        S_pad = jnp.zeros((Xb.shape[0], S_stack.shape[1]),
+                          jnp.float32).at[:n_obs].set(S_stack)
+        P = _data_dot(Xb.T, S_pad)[:p]
+        P = P - mu[:p, None] * jnp.sum(S_stack, axis=0)[None, :]
+        return combine_analytic_projection(P) if complexify else P
+
+    Vl = spatial(Xb_l, mu_l, n_vars[0], La, U)
+    sqrt_s = jnp.sqrt(s).astype(Vl.dtype)
+    if bivariate:
+        Vr = spatial(Xb_r, mu_r, n_vars[1], Lb, V)
         L = jnp.concatenate([Vl, Vr], axis=0) * sqrt_s[None, :]
     else:
         L = Vl * sqrt_s[None, :]

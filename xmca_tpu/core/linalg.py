@@ -164,6 +164,60 @@ def ns_polar_iterate(A, n_steps, dot=None):
     return W
 
 
+def ns_polar_schedule(l0=1e-9, tol=1e-7, max_steps=64):
+    """Greedy minimax scale schedule for the SCALED cubic NS iteration.
+
+    One cubic step maps a singular value ``x`` to ``f(s x)`` with
+    ``f(y) = 1.5 y - 0.5 y^3``; choosing ``s`` so that
+    ``f(s l) = f(s u)`` (``s = sqrt(3 / (u^2 + u l + l^2))``) is the
+    per-step minimax choice over a known spectrum interval ``[l, u]``:
+    small singular values grow by ``~ 1.5 sqrt(3) ~ 2.6x`` per step
+    instead of the unscaled ``1.5x``.  Everything stays inside the
+    convergence basin by construction (``s u <= sqrt(3)``, and the
+    global max of ``f`` on ``[0, sqrt(3)]`` is 1, so ``u' <= 1``).
+    The same composed-polynomial idea appears in the matrix-sign /
+    polar literature (optimally scaled Newton, and recent
+    "polar express" GPU schedules).
+
+    Returns the host-side scale list reaching ``min sval >= 1 - tol``
+    from a worst-case ``sigma_min/||.||_F >= l0``.  The schedule only
+    depends on (l0, tol) — callers treat it as a static constant.
+    """
+    scales, l, u = [], float(l0), 1.0
+    for _ in range(max_steps):
+        if l >= 1.0 - tol:
+            break
+        s = (3.0 / (u * u + u * l + l * l)) ** 0.5
+        scales.append(s)
+
+        def f(y):
+            return 1.5 * y - 0.5 * y ** 3
+
+        fl, fu = f(s * l), f(s * u)
+        l = min(fl, fu)
+        u = 1.0 if s * u >= 1.0 else max(fl, fu)
+    return scales
+
+
+def ns_polar_iterate_scaled(A, scales, dot=None):
+    """Scaled Newton-Schulz polar iterate with a precomputed schedule.
+
+    Same contract as :func:`ns_polar_iterate` but each step applies
+    ``W <- 1.5 s W - 0.5 s^3 W (W^H W)`` with the
+    :func:`ns_polar_schedule` scale — the nuclear-norm trace converges
+    in ~26 steps from sigma_min/fro = 1e-9 where the unscaled
+    iteration needs 50+ (and never fully converges the tiniest
+    directions).  Zero-safe like the unscaled variant.
+    """
+    if dot is None:
+        dot = jnp.matmul
+    fro = jnp.linalg.norm(A)
+    W = A / jnp.where(fro == 0, 1.0, fro)
+    for s in scales:
+        W = (1.5 * s) * W - (0.5 * s ** 3) * dot(W, dot(W.conj().T, W))
+    return W
+
+
 def unitary_polar_factor(A, method='svd'):
     """Unitary polar factor of ``A`` plus its nuclear norm.
 

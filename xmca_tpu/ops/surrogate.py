@@ -271,10 +271,24 @@ def bits_field(seed, shape, dist='normal16', impl='rbg'):
     per (2000, 100k) bfloat16 field at 32-bit; 'normal16' halves the
     generated bits for another ~30%) and XLA fuses the bit transform
     into the consumer.  ``seed`` may be a traced int32 scalar.
+
+    ``'rademacher1'`` spends ONE random bit per element (the draw is
+    generation-rate-bound at production shapes — measured ~75 GB/s of
+    generated bytes on a v5e): a (n, p/8) uint8 block is expanded to
+    8 independent fair signs per byte, int8 like 'rademacher8' (the
+    two are the SAME distribution, only the bit budget differs).
     """
     key = jax.random.key(
         jnp.asarray(seed).astype(jnp.uint32), impl=impl
     )
+    if dist == 'rademacher1':
+        n_, p_ = shape
+        pb = -(-p_ // 8)
+        bits = jax.random.bits(key, (n_, pb), jnp.uint8)
+        shifts = jnp.arange(8, dtype=jnp.uint8)
+        b = (bits[..., None] >> shifts) & jnp.uint8(1)
+        x = jnp.where(b == jnp.uint8(1), jnp.int8(1), jnp.int8(-1))
+        return x.reshape(n_, pb * 8)[:, :p_]
     bits_dtype = {
         'normal16': jnp.uint16,
         'rademacher8': jnp.uint8,       # one random byte per element

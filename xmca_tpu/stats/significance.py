@@ -350,16 +350,23 @@ def _rule_n_generated(n_obs, n_vars, n_runs, *, complexify, rotated,
         def one_run(seed_row):
             s = seed_row[0]
             k = jax.random.PRNGKey(s.astype(jnp.uint32))
-            if dist == 'rademacher8':
-                # int8 storage: the data-sized Gram runs the MXU's
-                # s8 x s8 -> s32 mode (exact integer accumulation)
+            if dist in ('rademacher8', 'rademacher1'):
+                # +-1 draws: on TPU the data-sized Gram runs as the
+                # Pallas triangle syrk (lower-triangle blocks only —
+                # XLA cannot exploit the output's symmetry, and its
+                # int8 dot has no s8 fast path on this backend);
+                # elsewhere the int8 MXU-mode pipeline.  'rademacher1'
+                # spends one random BIT per element.
                 from xmca_tpu.core import fastpath as _fast
-                return _fast.fast_surrogate_variance_int8(
+                fn = (_fast.fast_surrogate_variance_tri
+                      if jax.default_backend() == 'tpu'
+                      else _fast.fast_surrogate_variance_int8)
+                return fn(
                     s, k, n_obs, n_vars, H=hilbert_H,
                     complexify=complexify, rotated=rotated,
                     n_rot=n_rot if rotated else n_modes_fast,
                     power=power, tol=tol, n_iter=subspace_iters,
-                    polar_method=polar_method,
+                    polar_method=polar_method, dist=dist,
                 )
             fields = [
                 bits_field(s * 2 + i, (n_obs, p), dist=dist)
