@@ -162,13 +162,17 @@ def hilbert_imag_matrix_device(n, dtype=np.float32):
     return _HILBERT_DEVICE_CACHE[key]
 
 
-def _analytic_fold(G, H):
+def _analytic_fold(G, H, dot=_dot_hi):
     """Complexified temporal Gram from the real Gram (no data-sized op).
 
     ``G_Z = (G + H G H^T) + i (H G - G H^T)`` — three n x n matmuls.
+    ``dot`` selects the contraction precision: parity-grade callers
+    keep the HIGHEST default; surrogate ensembles may pass a
+    single-pass bf16 dot (the ~1e-3 relative error is absorbed by a
+    matching jitter floor and sits far below Monte-Carlo noise).
     """
-    HG = _dot_hi(H, G)
-    HGHt = _dot_hi(HG, H.T)
+    HG = dot(H, G)
+    HGHt = dot(HG, H.T)
     real = G + HGHt
     imag = HG - HG.T          # H G - G H^T == HG - (HG)^T for symmetric G
     return real + 1j * imag
@@ -825,12 +829,12 @@ def fast_surrogate_variance_int8(seed, key, n_obs, n_vars, H=None,
 @partial(jax.jit,
          static_argnames=('n_obs', 'n_vars', 'complexify', 'rotated',
                           'n_rot', 'power', 'n_iter', 'polar_method',
-                          'dist'))
+                          'dist', 'grade'))
 def fast_surrogate_variance_tri(seed, key, n_obs, n_vars, H=None,
                                 complexify=False, rotated=False,
                                 n_rot=10, power=1, tol=1e-8, n_iter=8,
                                 jitter_rel=1e-6, polar_method='ns',
-                                dist='rademacher8'):
+                                dist='rademacher8', grade='exact'):
     """One Rule-N surrogate solve with the TRIANGLE (syrk) Gram.
 
     The TPU production pipeline (auto-selected by ``rule_n`` for
@@ -847,6 +851,15 @@ def fast_surrogate_variance_tri(seed, key, n_obs, n_vars, H=None,
     :func:`fast_surrogate_variance_int8`; equivalence tested in
     tests/unit/test_surrogate.py (interpret mode) and on-chip in
     scripts/tpu_checks.py.
+
+    ``grade='fast'`` runs the n x n fold and kernel contractions at the
+    MXU's single-pass bf16 precision instead of HIGHEST (6 passes) and
+    raises the jitter floor to 2e-3 relative so the ~1e-3-relative
+    contraction error cannot push the Cholesky off positive definite.
+    Both perturbations move null quantiles by ~1e-3 relative — far
+    below the Monte-Carlo noise of the quantiles themselves (measured
+    on-chip, scripts/tri_stage_probe.py); the analysis' own solve
+    never uses this grade.
     """
     from xmca_tpu.core.rotation import promax
     from xmca_tpu.ops.surrogate import bits_field
@@ -856,6 +869,11 @@ def fast_surrogate_variance_tri(seed, key, n_obs, n_vars, H=None,
     bivariate = len(n_vars) == 2
     f_eps = float(np.finfo(np.float32).eps)
     interpret = jax.default_backend() != 'tpu'
+    if grade == 'fast':
+        dot = jnp.matmul                 # single-pass bf16, f32 accum
+        jitter_rel = max(jitter_rel, 2e-3)
+    else:
+        dot = _dot_hi
 
     def field_gram(fseed, p):
         n_pad, p_pad = pad_to(n_obs, p)
@@ -869,8 +887,8 @@ def fast_surrogate_variance_tri(seed, key, n_obs, n_vars, H=None,
         mu = jnp.sum(Xb, axis=0, dtype=jnp.float32) / n_obs
         w = _data_dot(Xb, mu.astype(jnp.bfloat16)[:, None])[:n_obs, 0]
         Gc = G - w[:, None] - w[None, :] + jnp.sum(mu * mu)
-        Gz = _analytic_fold(Gc, H).astype(jnp.complex64) if complexify \
-            else Gc
+        Gz = _analytic_fold(Gc, H, dot=dot).astype(jnp.complex64) \
+            if complexify else Gc
         return _jitter(Gz, p, jitter_rel, input_eps=f_eps), mu, Xb
 
     seeds = [seed * 2, seed * 2 + 1]
@@ -883,7 +901,7 @@ def fast_surrogate_variance_tri(seed, key, n_obs, n_vars, H=None,
     dof = n_obs - 1
     La = jnp.linalg.cholesky(Gl)
     Lb = La if not bivariate else jnp.linalg.cholesky(Gr)
-    M = _dot_hi(La.conj().T, Lb) / dof
+    M = dot(La.conj().T, Lb) / dof
 
     if not rotated:
         _, s, _ = subspace_svd(M, key, k=n_rot, n_iter=n_iter)
