@@ -276,19 +276,32 @@ def bits_field(seed, shape, dist='normal16', impl='rbg'):
     generation-rate-bound at production shapes — measured ~75 GB/s of
     generated bytes on a v5e): a (n, p/8) uint8 block is expanded to
     8 independent fair signs per byte, int8 like 'rademacher8' (the
-    two are the SAME distribution, only the bit budget differs).
+    two are the SAME distribution, only the bit budget differs).  The
+    expansion is PLANE-MAJOR — output column ``g*1024 + j*128 + c``
+    takes bit ``j`` of byte ``g*128 + c`` — a fixed column permutation
+    of the byte-major order (iid signs are permutation-invariant)
+    chosen so the minor dimension stays a whole 128-lane tile through
+    the reshape (the byte-major order — 8 consecutive columns from one
+    byte — forces a cross-lane relayout).  Even plane-major, XLA's
+    lowering of the 8-way broadcast+select costs more than the 7/8 of
+    generation it saves: measured 24.8 vs 21.5 ms/run end-to-end
+    against 'rademacher8' through the public rule_n at (2000, 2x100k)
+    (null q95 agreed to 2e-4).  'rademacher8' stays the TPU default;
+    the 1-bit budget pays off only when the expansion happens in-kernel
+    (see ``ops.syrk`` notes).
     """
     key = jax.random.key(
         jnp.asarray(seed).astype(jnp.uint32), impl=impl
     )
     if dist == 'rademacher1':
         n_, p_ = shape
-        pb = -(-p_ // 8)
-        bits = jax.random.bits(key, (n_, pb), jnp.uint8)
-        shifts = jnp.arange(8, dtype=jnp.uint8)
-        b = (bits[..., None] >> shifts) & jnp.uint8(1)
-        x = jnp.where(b == jnp.uint8(1), jnp.int8(1), jnp.int8(-1))
-        return x.reshape(n_, pb * 8)[:, :p_]
+        ng = -(-p_ // 1024)             # groups of 8 planes x 128 lanes
+        bits = jax.random.bits(key, (n_, ng * 128), jnp.uint8)
+        b = bits.reshape(n_, ng, 1, 128)
+        shifts = jnp.arange(8, dtype=jnp.uint8).reshape(1, 1, 8, 1)
+        bitv = (b >> shifts) & jnp.uint8(1)
+        x = jnp.where(bitv == jnp.uint8(1), jnp.int8(1), jnp.int8(-1))
+        return x.reshape(n_, ng * 1024)[:, :p_]
     bits_dtype = {
         'normal16': jnp.uint16,
         'rademacher8': jnp.uint8,       # one random byte per element
