@@ -7,6 +7,14 @@ readback, so differences are honest marginal costs.  Config:
 rademacher8 + it6 + ns14 + tol 1e-4 at north-star shapes.
 
 Usage: nohup timeout 3600 python -u scripts/tri_stage_probe.py > log &
+
+MEASUREMENT CAVEAT (measured 2026-08-19): the FIRST timed cadence of a
+fresh process runs ~2.4x slower than every later one (53.5 vs 22.7
+ms/run for an identical exact-grade pipeline back-to-back) even after
+an 8-run compile warmup — the remote dispatch path itself needs a
+few dozen dispatches to reach steady state.  Single-config probes in
+fresh processes (not this script — its stages warm each other) must
+time a throwaway cadence first or they overstate costs ~2.4x.
 """
 import os
 import sys

@@ -222,6 +222,45 @@ def test_rulen_generated_rademacher1_end_to_end():
     assert np.isfinite(totals).all() and (totals > 0).all()
 
 
+def test_sign_field_sums_mask_and_sums():
+    """sign_field_sums: +-1 in the live region, zero in the pads, and
+    the returned column sums equal the masked field's column sums
+    exactly (the fallback path; the TPU kernel's invariants are
+    asserted on-chip by scripts/tpu_checks.py)."""
+    from xmca_tpu.ops.surrogate import sign_field_sums
+
+    n, p, n_pad, p_pad = 200, 3000, 512, 4096
+    X, colsum = sign_field_sums(jnp.int32(11), n, p, n_pad, p_pad)
+    assert X.shape == (n_pad, p_pad) and X.dtype == jnp.bfloat16
+    assert colsum.shape == (p_pad,) and colsum.dtype == jnp.float32
+    Xf = np.asarray(X).astype(np.float64)
+    assert set(np.unique(Xf[:n, :p])) == {-1.0, 1.0}
+    assert (Xf[n:] == 0).all() and (Xf[:, p:] == 0).all()
+    np.testing.assert_array_equal(np.asarray(colsum), Xf.sum(axis=0))
+    m = Xf[:n, :p].mean()
+    assert abs(m) < 5.0 / np.sqrt(n * p)
+    # determinism + seed sensitivity
+    X2, _ = sign_field_sums(jnp.int32(11), n, p, n_pad, p_pad)
+    X3, _ = sign_field_sums(jnp.int32(12), n, p, n_pad, p_pad)
+    np.testing.assert_array_equal(np.asarray(X), np.asarray(X2))
+    assert np.abs(np.asarray(X3) - np.asarray(X)).max() > 0
+
+
+def test_gram_centering_identity_from_colsums():
+    """The tri pipeline's centering algebra — w = G 1 / n and
+    mu.mu = 1^T G 1 / n^2 — equals explicit centering exactly for
+    +-1 fields (integer algebra below 2^24)."""
+    rng = np.random.default_rng(5)
+    n, p = 64, 300
+    X = rng.choice([-1.0, 1.0], size=(n, p))
+    G = X @ X.T
+    w = G.sum(axis=1) / n
+    mumu = w.sum() / n
+    Gc = G - w[:, None] - w[None, :] + mumu
+    Xc = X - X.mean(axis=0, keepdims=True)
+    np.testing.assert_allclose(Gc, Xc @ Xc.T, atol=1e-9)
+
+
 def test_syrk_matches_dense_exactly():
     """The Pallas triangle syrk (interpret mode on CPU) is EXACT for
     +-1 values: bf16 holds them exactly and the f32 accumulator is

@@ -878,15 +878,23 @@ def fast_surrogate_variance_tri(seed, key, n_obs, n_vars, H=None,
     def field_gram(fseed, p):
         n_pad, p_pad = pad_to(n_obs, p)
         X = bits_field(fseed, (n_pad, p_pad), dist=dist)
-        ok = ((jax.lax.broadcasted_iota(jnp.int32, (n_pad, p_pad), 0)
-               < n_obs)
-              & (jax.lax.broadcasted_iota(jnp.int32, (n_pad, p_pad), 1)
-                 < p))
+        ok = ((jax.lax.broadcasted_iota(jnp.int32,
+                                        (n_pad, p_pad), 0) < n_obs)
+              & (jax.lax.broadcasted_iota(jnp.int32,
+                                          (n_pad, p_pad), 1) < p))
         Xb = jnp.where(ok, X.astype(jnp.bfloat16), jnp.bfloat16(0))
+        # XLA fuses draw + mask + this column-sum reduction into the
+        # single generation pass (measured 2.1 ms/field either way at
+        # north-star shapes; a Pallas draw kernel with fused sums —
+        # ops.surrogate.sign_field_sums — measured 2.4 ms)
+        colsum = jnp.sum(Xb.astype(jnp.float32), axis=0)
         G = syrk(Xb, interpret=interpret)[:n_obs, :n_obs]
-        mu = jnp.sum(Xb, axis=0, dtype=jnp.float32) / n_obs
-        w = _data_dot(Xb, mu.astype(jnp.bfloat16)[:, None])[:n_obs, 0]
-        Gc = G - w[:, None] - w[None, :] + jnp.sum(mu * mu)
+        mu = colsum / n_obs
+        # centering from the Gram alone: mu_time = X^T 1 / n, so
+        # w = X mu_time = G 1 / n and mu_time.mu_time = 1^T G 1 / n^2 —
+        # the rank-1 correction needs no further pass over the field
+        w = jnp.sum(G, axis=1) / n_obs
+        Gc = G - w[:, None] - w[None, :] + jnp.sum(w) / n_obs
         Gz = _analytic_fold(Gc, H, dot=dot).astype(jnp.complex64) \
             if complexify else Gc
         return _jitter(Gz, p, jitter_rel, input_eps=f_eps), mu, Xb
