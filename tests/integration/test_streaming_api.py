@@ -428,13 +428,58 @@ def test_streamed_all_nan_field_raises(disk_fields):
         m.solve()
 
 
-def test_streamed_extend_rejected(disk_fields):
+@pytest.mark.parametrize('extend,period', [('exp', 1), ('theta', 4)])
+def test_streamed_extend_matches_in_memory(disk_fields, extend, period):
+    """Boundary-extended complexification streams: chunks carry each
+    column's full series, so per-chunk extend+complexify with direct
+    complex-Gram accumulation equals the resident extend solve."""
+    mm = MCA(disk_fields['left'][1], disk_fields['right'][1])
+    mm.set_solver(truncate=K)
+    mm.solve(complexify=True, extend=extend, period=period)
+    ms = MCA.from_chunks(
+        _loader(disk_fields['left'][0], 97),
+        _loader(disk_fields['right'][0], 97),
+        n_observations=N_OBS, left_shape=(N_LAT, N_LON),
+        right_shape=(N_LAT, N_LON),
+    )
+    ms.set_solver(truncate=K)
+    ms.solve(complexify=True, extend=extend, period=period)
+    assert ms._analysis['extend'] == extend
+    assert_allclose(ms.singular_values(), mm.singular_values(),
+                    rtol=1e-7)
+    # vector tolerance: the chunked Gram differs from the one-matmul
+    # Gram by ~1 ulp, and the Cholesky of the near-rank-deficient
+    # complexified Gram (jitter floor 1e-6) plus the subspace iteration
+    # amplify that to ~6e-5 on the vectors (measured; the singular
+    # values agree to 1e-16 — this is fp sensitivity, not algebra)
+    eof_s = ms.eofs(K, rotated=False)
+    eof_m = mm.eofs(K, rotated=False)
+    pcs_s = ms.pcs(K, rotated=False)
+    pcs_m = mm.pcs(K, rotated=False)
+    for k in ('left', 'right'):
+        assert_allclose(eof_s[k], eof_m[k], atol=2e-4)
+        assert_allclose(pcs_s[k], pcs_m[k], atol=2e-4)
+    # the rotated result layer consumes the extended score accumulators
+    ms.rotate(3)
+    mm.rotate(3)
+    assert_allclose(ms.variance(), mm.variance(), rtol=1e-4)
+    assert_allclose(ms.eofs(3)['left'], mm.eofs(3)['left'], atol=2e-4)
+    # fields() re-reads the loaders with the extended complexification
+    fs = ms.fields()
+    fm = mm.fields()
+    for k in ('left', 'right'):
+        assert_allclose(fs[k], fm[k], atol=1e-6)
+
+
+def test_streamed_extend_bootstrap_rejected(disk_fields):
     m = MCA.from_chunks(
         _loader(disk_fields['left'][0], 128), None,
         n_observations=N_OBS, left_shape=(N_LAT, N_LON),
     )
-    with pytest.raises(ValueError, match='extend'):
-        m.solve(complexify=True, extend='theta')
+    m.set_solver(truncate=K)
+    m.solve(complexify=True, extend='exp')
+    with pytest.raises(RuntimeError, match='extend'):
+        m.bootstrapping(2, n_modes=2, disable_progress=True)
 
 
 def _streamed_xmca(disk_fields):

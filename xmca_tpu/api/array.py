@@ -556,8 +556,12 @@ class MCA:
         Gram space (time-axis rounds need no data pass at all —
         xmca_tpu.stats.streaming_boot); ``save_analysis`` writes the
         reference's full-size on-disk format via the streamed fields
-        pass.  Only ``extend`` boundary forecasts are rejected (they
-        need every column's full series at once).
+        pass.  ``solve(complexify=True, extend='exp'/'theta')`` works
+        too — chunks carry each column's full series, so the boundary
+        forecast is chunk-local and both passes run on the complex
+        chunk directly; only ``bootstrapping`` of such extended models
+        is rejected (Gram-space resampling cannot express the per-run
+        re-extension).
         """
         model = cls()
         model._keys = ['left'] if right is None else ['left', 'right']
@@ -852,6 +856,8 @@ class MCA:
                 full = streamed_fields(
                     self._chunk_loaders[k], n_obs,
                     complexify=self._analysis['is_complex'],
+                    extend=self._analysis['extend'],
+                    period=self._analysis['theta_period'],
                     weights=weights.get(k), normalize=normalize,
                     original_scale=original_scale,
                     inv_colmul=(self._stream_inverse_colmul(k)
@@ -1085,11 +1091,10 @@ class MCA:
         solve produces — the result layer is oblivious to how the
         decomposition was obtained.
         """
-        if extend:
+        if extend and extend not in ('exp', 'theta'):
             raise ValueError(
-                'Chunk-backed solves support plain Hilbert '
-                'complexification only (extend must be False): forecast '
-                'extension needs every column\'s full series at once.'
+                '{:} is not a valid extension. Choose either `exp` or '
+                '`theta`.'.format(extend)
             )
         from xmca_tpu.core.streaming import streamed_mca
 
@@ -1105,7 +1110,7 @@ class MCA:
         res = streamed_mca(
             loaders['left'], loaders.get('right'),
             self._n_observations['left'], n_modes,
-            complexify=complexify,
+            complexify=complexify, extend=extend, period=period,
             key=jax.random.PRNGKey(self._solver_seed),
             n_iter=self._subspace_iters, dtype=dtype,
             # ensemble-only meshes leave chunks unsharded (_space_shards)
@@ -2135,6 +2140,19 @@ class MCA:
         """
         from xmca_tpu.stats.streaming_boot import (
             bootstrap_spectra_streamed, deflated_gram)
+        if self._analysis['extend']:
+            # Gram-space resampling cannot express the per-run
+            # re-extension (resampled rows change every boundary
+            # forecast, so the surrogate Gram is not index algebra on
+            # the stored one) — it would need one full data pass per
+            # run with per-chunk extend+complexify.  Documented
+            # implementation choice, see PARITY.md.
+            raise RuntimeError(
+                'bootstrapping of chunk-backed models solved with '
+                'boundary extension (extend=\'exp\'/\'theta\') is not '
+                'supported: re-solve without extend, or use an '
+                'in-memory model.'
+            )
         weights, normalize = self._stream_transform()
         dtype = getattr(self, '_stream_dtype', np.dtype('float32'))
         grams = self._stream_grams

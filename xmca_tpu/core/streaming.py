@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec
 
 from xmca_tpu.core import fastpath as _fast
+from xmca_tpu.core import preprocess as _pre
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -51,7 +52,10 @@ StreamedMCA = namedtuple('StreamedMCA', [
     'grams',        # {'left'/'right': (n, n)} DEVICE real centered Grams
                     # of the transformed data, pre-jitter/pre-fold — the
                     # streamed bootstrap's whole working set (time-axis
-                    # resampling is pure index algebra on these)
+                    # resampling is pure index algebra on these).
+                    # Extended solves store the COMPLEX Z Z^H instead
+                    # (the fold cannot express the boundary forecast);
+                    # the streamed bootstrap rejects those models.
     'scores_pre',   # {'left'/'right': (n, k)} DEVICE pre-Hilbert raw
                     # scores ``Xc V`` (== scores for real solves) — the
                     # streamed deflation needs the REAL data's projection
@@ -176,6 +180,29 @@ def _accumulate(G, chunk, w, *, normalize, has_w):
     return G, mu, var, nan_cols
 
 
+@partial(jax.jit,
+         static_argnames=('normalize', 'has_w', 'extend', 'period'))
+def _accumulate_ext(G, chunk, w, *, normalize, has_w, extend, period):
+    """Pass-1 update of a boundary-EXTENDED complexified solve.
+
+    Chunks split the COLUMN axis, so each column carries its full time
+    series and the reference's extend-then-Hilbert complexification
+    (xmca/array.py:367-472: forecast both boundaries, analytic signal
+    of the tripled series, keep the middle third, re-center) is exactly
+    chunk-local.  The analytic fold used by the plain streamed path
+    cannot express the extension (the forecast is a nonlinear
+    per-column map), so the complex chunk IS materialized — on device,
+    one chunk at a time — and its Hermitian temporal Gram ``Z Z^H``
+    accumulated directly.
+    """
+    cc, mu, var, nan_cols = _transform_chunk(
+        chunk, w, normalize=normalize, has_w=has_w
+    )
+    z = _pre.complexify(cc, extend=extend, period=period)
+    G = G + jnp.matmul(z, z.conj().T, precision=_HI)
+    return G, mu, var, nan_cols
+
+
 def _weight_slice(weights, off, wt, wp, dtype):
     """Per-chunk slice of a field's column-weight spec.
 
@@ -193,8 +220,13 @@ def _weight_slice(weights, off, wt, wp, dtype):
 
 
 def streamed_gram(chunks, n_obs, dtype=jnp.float32, mesh=None,
-                  weights=None, normalize=False):
+                  weights=None, normalize=False, extend=False,
+                  period=1):
     """Centered temporal Gram of a streamed field (pass 1).
+
+    With ``extend`` (``'exp'``/``'theta'``), each chunk is
+    boundary-extended and complexified on device (`_accumulate_ext`)
+    and the returned Gram is the COMPLEX Hermitian ``Z Z^H``.
 
     ``chunks``: iterable of host ``(n_obs, p_chunk)`` arrays.  Returns
     ``(G, p_kept, mean, std, keep)``: the exactly-centered
@@ -210,7 +242,8 @@ def streamed_gram(chunks, n_obs, dtype=jnp.float32, mesh=None,
     column-sharded and the Gram comes out of per-device partial
     matmuls + psum (`_put_chunk`).
     """
-    G = jnp.zeros((n_obs, n_obs), dtype)
+    gram_dtype = _fast._complex_dtype(dtype) if extend else dtype
+    G = jnp.zeros((n_obs, n_obs), gram_dtype)
     widths = []
     means, vars_, masks = [], [], []
     off = 0
@@ -219,9 +252,15 @@ def streamed_gram(chunks, n_obs, dtype=jnp.float32, mesh=None,
         widths.append((wp, wt))
         w, has_w = _weight_slice(weights, off, wt, wp, dtype)
         off += wt
-        G, mu, var, nan_cols = _accumulate(
-            G, chunk, w, normalize=normalize, has_w=has_w
-        )
+        if extend:
+            G, mu, var, nan_cols = _accumulate_ext(
+                G, chunk, w, normalize=normalize, has_w=has_w,
+                extend=extend, period=period,
+            )
+        else:
+            G, mu, var, nan_cols = _accumulate(
+                G, chunk, w, normalize=normalize, has_w=has_w
+            )
         # keep the small per-chunk stats ON DEVICE during the loop: a
         # blocking readback here would serialize the bandwidth-bound
         # Gram pass (each tunnel round trip ~30 ms and the next chunk's
@@ -270,6 +309,38 @@ def _project_chunk(chunk, Z, A, w, *, complexify, normalize, has_w):
 
 
 @partial(jax.jit,
+         static_argnames=('normalize', 'has_w', 'extend', 'period'))
+def _project_chunk_ext(chunk, Zw, A, Ap, w, *, normalize, has_w,
+                       extend, period):
+    """Pass-2 update of a boundary-extended complexified solve.
+
+    The complex chunk is re-materialized (extend + Hilbert, exactly as
+    in pass 1) and projected against the complex recovery matrix
+    ``Zw = La^-H U``: loadings ``P = Z^H Zw``, score accumulator
+    ``A += Z P`` and pre-Hilbert (real-data) accumulator
+    ``Ap += Xc P`` — the latter feeds the same result-layer slots the
+    analytic-fold path fills.
+    """
+    cc, _, _, _ = _transform_chunk(
+        chunk, w, normalize=normalize, has_w=has_w
+    )
+    z = _pre.complexify(cc, extend=extend, period=period)
+    P = jnp.matmul(z.conj().T, Zw, precision=_HI)
+    return (P,
+            A + jnp.matmul(z, P, precision=_HI),
+            Ap + jnp.matmul(cc.astype(P.dtype), P, precision=_HI))
+
+
+@jax.jit
+def _recovery_weights_ext(L_chol, T_side):
+    """Complex (n, k) recovery matrix of an extended solve: no fold,
+    no real projection — the data itself is complex."""
+    return jax.scipy.linalg.solve_triangular(
+        L_chol.conj().T, T_side, lower=False
+    )
+
+
+@partial(jax.jit,
          static_argnames=('p', 'jitter_rel', 'eps', 'complexify'))
 def _fold_jitter(G, H, p, jitter_rel, eps, *, complexify):
     """Analytic fold + rank-jitter of a streamed Gram, under jit
@@ -312,9 +383,9 @@ def _zeros_dev(*, shape, dtype):
 
 @partial(jax.jit,
          static_argnames=('complexify', 'normalize', 'has_w',
-                          'original', 'has_inv'))
+                          'original', 'has_inv', 'extend', 'period'))
 def _fields_chunk(chunk, w, H, inv_w, *, complexify, normalize, has_w,
-                  original, has_inv):
+                  original, has_inv, extend=False, period=1):
     """One chunk of a chunk-backed model's ``fields()`` view: the
     preprocessed (and, for analytic solves, complexified) data, with
     the reference's ``original_scale`` inverse — un-weight by
@@ -326,7 +397,12 @@ def _fields_chunk(chunk, w, H, inv_w, *, complexify, normalize, has_w,
     cc, mu, var, nan_cols = _transform_chunk(
         chunk, w, normalize=normalize, has_w=has_w
     )
-    z = cc + 1j * jnp.matmul(H, cc, precision=_HI) if complexify else cc
+    if complexify and extend:
+        z = _pre.complexify(cc, extend=extend, period=period)
+    elif complexify:
+        z = cc + 1j * jnp.matmul(H, cc, precision=_HI)
+    else:
+        z = cc
     if original:
         if has_inv:
             z = z * inv_w
@@ -336,7 +412,8 @@ def _fields_chunk(chunk, w, H, inv_w, *, complexify, normalize, has_w,
     return jnp.where(nan_cols[None, :], jnp.nan, z)
 
 
-def streamed_fields(loader, n_obs, *, complexify=False, weights=None,
+def streamed_fields(loader, n_obs, *, complexify=False, extend=False,
+                    period=1, weights=None,
                     normalize=False, original_scale=False,
                     inv_colmul=None, dtype=jnp.float32, mesh=None):
     """Materialize a streamed field as one host ``(n_obs, p)`` array.
@@ -352,8 +429,9 @@ def streamed_fields(loader, n_obs, *, complexify=False, weights=None,
     """
     from xmca_tpu.utils.transfer import to_numpy as _to_np
 
+    extend = extend if complexify else False
     H = _fast.hilbert_imag_matrix_device(n_obs, np.dtype(dtype)) \
-        if complexify else jnp.zeros((0, 0), dtype)
+        if complexify and not extend else jnp.zeros((0, 0), dtype)
     parts, off = [], 0
     for chunk in loader():
         chunk, wp, wt = _put_chunk(chunk, dtype, mesh)
@@ -363,7 +441,7 @@ def streamed_fields(loader, n_obs, *, complexify=False, weights=None,
         z = _fields_chunk(
             chunk, w, H, inv_w, complexify=complexify,
             normalize=normalize, has_w=has_w, original=original_scale,
-            has_inv=has_inv,
+            has_inv=has_inv, extend=extend, period=period,
         )
         parts.append((z, wt))
     return np.concatenate(
@@ -419,9 +497,9 @@ def _fold_score_hilbert(A, H):
 
 
 def streamed_mca(chunks_left, chunks_right, n_obs, n_modes, *,
-                 complexify=False, key=None, n_iter=12,
-                 jitter_rel=1e-6, dtype=jnp.float32, mesh=None,
-                 weights=None, normalize=False):
+                 complexify=False, extend=False, period=1, key=None,
+                 n_iter=12, jitter_rel=1e-6, dtype=jnp.float32,
+                 mesh=None, weights=None, normalize=False):
     """Truncated (complex) MCA of two streamed fields.
 
     Parameters
@@ -433,6 +511,13 @@ def streamed_mca(chunks_left, chunks_right, n_obs, n_modes, *,
     n_modes : leading modes to extract.
     complexify : analytic-signal (Hilbert) MCA via the Gram fold — the
         complex field is never materialized, streamed or otherwise.
+    extend, period : boundary forecast of the complexification
+        (``'exp'``/``'theta'``, reference xmca/array.py:367-472).
+        Chunks split the column axis, so each column's full series is
+        chunk-local and the extension applies per chunk; the fold no
+        longer holds (forecasts are nonlinear), so both passes run on
+        the complex chunk directly (`_accumulate_ext` /
+        `_project_chunk_ext`).  Ignored unless ``complexify``.
     mesh : jax.sharding.Mesh with a ``'space'`` axis, optional — each
         chunk is column-sharded across the mesh so both streamed passes
         run as per-device partial matmuls + an XLA psum over ICI:
@@ -460,9 +545,11 @@ def streamed_mca(chunks_left, chunks_right, n_obs, n_modes, *,
         key = jax.random.PRNGKey(0)
     bivariate = chunks_right is not None
     weights = weights or {}
-    # ONE device-resident Hilbert operator for both fields
+    extend = extend if complexify else False
+    # ONE device-resident Hilbert operator for both fields (the extend
+    # path complexifies per chunk instead — no fold)
     H = _fast.hilbert_imag_matrix_device(n_obs, np.dtype(dtype)) \
-        if complexify else None
+        if complexify and not extend else None
 
     means, stds, keeps, grams = {}, {}, {}, {}
 
@@ -470,6 +557,7 @@ def streamed_mca(chunks_left, chunks_right, n_obs, n_modes, *,
         G, p, means[side], stds[side], keeps[side] = streamed_gram(
             loader(), n_obs, dtype, mesh=mesh,
             weights=weights.get(side), normalize=normalize,
+            extend=extend, period=period,
         )
         if p == 0:
             raise RuntimeError(
@@ -478,10 +566,12 @@ def streamed_mca(chunks_left, chunks_right, n_obs, n_modes, *,
             )
         grams[side] = G
         # fold + jitter run under jit (eager complex ops are unsafe on
-        # axon); the jitter floor scales with the CONTRACTED width p
+        # axon); the jitter floor scales with the CONTRACTED width p.
+        # Extended Grams are already complex — jitter only.
         return _fold_jitter(
-            G, H, p, jitter_rel, float(jnp.finfo(dtype).eps),
-            complexify=complexify,
+            G, jnp.zeros((0, 0), dtype) if extend else H, p,
+            jitter_rel, float(jnp.finfo(dtype).eps),
+            complexify=complexify and not extend,
         )
 
     Gl = field_gram(chunks_left, 'left')
@@ -496,10 +586,14 @@ def streamed_mca(chunks_left, chunks_right, n_obs, n_modes, *,
                    else np.dtype(dtype))
 
     def recover(loader, L_chol, T_side, keep, side):
-        Z = _recovery_weights(L_chol, T_side, H,
-                              complexify=complexify).astype(dtype)
+        if extend:
+            Z = _recovery_weights_ext(L_chol, T_side)
+        else:
+            Z = _recovery_weights(L_chol, T_side, H,
+                                  complexify=complexify).astype(dtype)
         A = _zeros_dev(shape=(n_obs, int(T_side.shape[1])),
                        dtype=np.dtype(score_dtype).str)
+        A_pre = A
         parts = []
         off = 0
         for c in loader():
@@ -507,8 +601,15 @@ def streamed_mca(chunks_left, chunks_right, n_obs, n_modes, *,
             w, has_w = _weight_slice(weights.get(side), off, wt, wp,
                                      dtype)
             off += wt
-            P, A = _project_chunk(c, Z, A, w, complexify=complexify,
-                                  normalize=normalize, has_w=has_w)
+            if extend:
+                P, A, A_pre = _project_chunk_ext(
+                    c, Z, A, A_pre, w, normalize=normalize,
+                    has_w=has_w, extend=extend, period=period,
+                )
+            else:
+                P, A = _project_chunk(c, Z, A, w,
+                                      complexify=complexify,
+                                      normalize=normalize, has_w=has_w)
             # hold the small (p_chunk, k) device results until the loop
             # drains — a blocking readback per chunk would serialize
             # the projection pass on tunneled backends (pad rows are
@@ -516,10 +617,12 @@ def streamed_mca(chunks_left, chunks_right, n_obs, n_modes, *,
             parts.append((P, wt))
         # the pre-fold accumulator is the REAL data's raw scores
         # ``Xc V`` — the streamed deflation algebra needs it alongside
-        # the analytic ``Xz V`` (for real solves they coincide)
-        A_pre = A
-        if complexify:
-            A = _fold_score_hilbert(A, H)
+        # the analytic ``Xz V`` (for real solves they coincide; the
+        # extend path accumulates it explicitly per chunk)
+        if not extend:
+            A_pre = A
+            if complexify:
+                A = _fold_score_hilbert(A, H)
         Vf = np.concatenate(
             [_to_np(P)[:wt] for P, wt in parts], axis=0
         )
