@@ -11,6 +11,10 @@ the CPU test suite cannot exercise these:
    against the direct FFT formula.
 3. The end-to-end public north-star pipeline
    (solve -> rotate -> rule_n) produces finite, converged output.
+4. Golden replay of the reference's committed fixtures on the f32
+   shipping path, including ROTATED eofs/pcs/variance against a stored
+   CPU-f64 golden (scripts/make_rotated_golden.py) and a from_chunks
+   streamed replay of the same fixtures.
 
 Prints one PASS/FAIL line per check; exits non-zero on any failure.
 """
@@ -83,6 +87,28 @@ def main():
     err = abs(V - X.T @ Sb).max() / abs(V).max()
     check('surrogate_project == XLA projection of regenerated field',
           err < 1e-5, f'(rel {err:.2e})')
+
+    # ---- 1b. the fused sign-draw kernel's invariants on the REAL
+    # Pallas path (the CPU suite only covers its XLA fallback —
+    # tests/unit/test_surrogate.py::test_sign_field_sums_mask_and_sums
+    # points here): +-1 in the live region, exact zeros in both pads,
+    # colsum == the masked field's column sums, deterministic per seed
+    from xmca_tpu.ops.surrogate import sign_field_sums
+    ns, ps, n_pad, p_pad = 300, 3000, 512, 4096
+    Xs, colsum = sign_field_sums(jnp.int32(11), ns, ps, n_pad, p_pad)
+    Xf = np.asarray(Xs.astype(jnp.float32)).astype(np.float64)
+    cs = np.asarray(colsum)
+    ok = (set(np.unique(Xf[:ns, :ps])) == {-1.0, 1.0}
+          and (Xf[ns:] == 0).all() and (Xf[:, ps:] == 0).all())
+    sum_err = np.abs(cs - Xf.sum(axis=0)).max()
+    Xs2, _ = sign_field_sums(jnp.int32(11), ns, ps, n_pad, p_pad)
+    Xs3, _ = sign_field_sums(jnp.int32(12), ns, ps, n_pad, p_pad)
+    det = ((np.asarray(Xs2.astype(jnp.float32)) == np.asarray(
+        Xs.astype(jnp.float32))).all()
+        and np.abs(np.asarray(Xs3.astype(jnp.float32))
+                   - np.asarray(Xs.astype(jnp.float32))).max() > 0)
+    check('sign_field_sums pads/values/colsums/determinism on-chip',
+          bool(ok and sum_err == 0 and det), f'(sum err {sum_err:.1e})')
 
     # ---- 2. Hilbert routes against the direct FFT formula (device f32)
     from xmca_tpu.core.preprocess import (_analytic_signal_circulant,
@@ -273,7 +299,7 @@ def main():
 
     # bounds = CPU-measured shipping table (PARITY.md) with ~4x margin
     # for the chip's own accumulation order
-    golden('std', False, 0, 1e-5, 5e-5)
+    m_std = golden('std', False, 0, 1e-5, 5e-5)
     m_rot = golden('rot', False, 10, 1e-5, 2e-4)
     golden('cplx', True, 0, 1e-4, 1e-3)
 
@@ -282,6 +308,81 @@ def main():
     check('golden rot rule_n on-chip',
           np.isfinite(surr).all() and surr.shape[0] == 10
           and surr.shape[1] >= 6, f'(kept {surr.shape[1]}/8)')
+
+    # ---- 9. ROTATED VALUES against the stored CPU-f64 golden: the
+    # fixture dirs hold only unrotated eofs, so until round 5 the
+    # rotated output was pinned on-chip by finiteness alone — exactly
+    # where the round-3 NS trailing-mode collapse lived.  The golden
+    # comes from scripts/make_rotated_golden.py (CPU f64 parity path,
+    # itself pinned to the live reference rotation at 1e-5).
+    gpath = os.path.join(
+        __file__.rsplit('/', 2)[0], 'tests', 'oracles',
+        'rotated_golden_f64.npz',
+    )
+    if os.path.isfile(gpath):
+        g = np.load(gpath)
+        eofs_r = m_rot.eofs(10)
+        pcs_r = m_rot.pcs(10)
+        var_r = np.asarray(m_rot.variance(10).values)
+        eof_err = max(
+            float(np.nanmax(np.abs(
+                align(np.asarray(eofs_r[s].values), g['eofs_%s' % s])
+                - g['eofs_%s' % s]
+            ))) for s in ('left', 'right')
+        )
+        check('golden rot ROTATED eofs vs CPU-f64 golden on-chip',
+              eof_err < 5e-3, f'(abs {eof_err:.2e})')
+        pcs_err = max(
+            float(np.nanmax(np.abs(
+                align(np.asarray(pcs_r[s].values), g['pcs_%s' % s])
+                - g['pcs_%s' % s]
+            ))) for s in ('left', 'right')
+        )
+        check('golden rot ROTATED pcs vs CPU-f64 golden on-chip',
+              pcs_err < 2e-2, f'(abs {pcs_err:.2e}; pc scale ~5)')
+        var_err = float(np.abs(var_r - g['variance']).max()
+                        / g['variance'].max())
+        check('golden rot ROTATED variance vs CPU-f64 golden on-chip',
+              var_err < 1e-3, f'(rel {var_err:.2e})')
+    else:
+        print('SKIP rotated-values golden (run scripts/'
+              'make_rotated_golden.py on CPU first)')
+
+    # ---- 10. from_chunks streamed replay of the fixtures on the real
+    # chip: the streamed solve of the very same data must match the
+    # resident truncated solve (svals) and the rotated variance golden
+    sst_flat = np.asarray(sst.values).reshape(sst.values.shape[0], -1)
+    prcp_flat = np.asarray(prcp.values).reshape(
+        prcp.values.shape[0], -1)
+
+    def mk_loader(arr):
+        def chunks():
+            for s in range(0, arr.shape[1], 37):
+                yield arr[:, s:s + 37]
+        return chunks
+
+    from xmca_tpu.array import MCA as _MCA
+    mstr = _MCA.from_chunks(
+        mk_loader(sst_flat), mk_loader(prcp_flat),
+        n_observations=sst_flat.shape[0],
+        left_shape=(sst_flat.shape[1],),
+        right_shape=(prcp_flat.shape[1],),
+    )
+    mstr.set_solver(truncate=K_CHECK)
+    mstr.solve()
+    sv_err = float(np.abs(
+        np.asarray(mstr.singular_values(K_CHECK))
+        - np.asarray(m_std.singular_values(K_CHECK).values)
+    ).max() / np.asarray(m_std.singular_values(1).values).max())
+    check('streamed fixture replay == resident svals on-chip',
+          sv_err < 1e-4, f'(rel {sv_err:.2e})')
+    if os.path.isfile(gpath):
+        mstr.rotate(10)
+        var_err = float(np.abs(
+            np.asarray(mstr.variance(10)) - g['variance']
+        ).max() / g['variance'].max())
+        check('streamed fixture replay rotated variance vs golden',
+              var_err < 1e-3, f'(rel {var_err:.2e})')
 
     return 1 if failures else 0
 

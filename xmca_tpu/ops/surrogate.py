@@ -56,6 +56,13 @@ import jax.numpy as jnp
 # one odd 32-bit constant Weyl-steps the per-tile PRNG streams; kernel 1
 # and kernel 2 derive identical tile seeds so regeneration is exact
 _TILE_SEED_STEP = np.int32(-1640531527)          # 2654435769 as int32
+# kernel-id salt folded into sign_field_sums' base seed: its tile
+# streams must NOT overlap surrogate_gram/surrogate_project's
+# ``seed + k * _TILE_SEED_STEP`` family when both ever draw from the
+# same base seed in one ensemble (surrogate_field/gram/project keep the
+# UNsalted family on purpose — regeneration across those three kernels
+# must stay exact, tests/unit/test_surrogate.py)
+_SIGN_SUMS_SEED_SALT = np.int32(0x53474E53)      # 'SGNS'
 _INV_SQRT8 = 0.3535533905932738
 
 
@@ -346,6 +353,10 @@ def sign_field_sums(seed, n, p, n_pad, p_pad, block_n=512):
     """
     if n_pad % block_n or p_pad % 4096:
         raise ValueError('n_pad %% block_n or p_pad %% 4096 != 0')
+    # domain-separate this kernel's tile streams from the
+    # surrogate_gram/surrogate_project family (same Weyl step, so an
+    # unsalted shared base seed would reuse their random bits)
+    seed = jnp.asarray(seed).astype(jnp.int32) ^ _SIGN_SUMS_SEED_SALT
     if jax.default_backend() != 'tpu':
         X = _xla_surrogate_field(seed, n, p, 'rademacher')
         Xp = jnp.zeros((n_pad, p_pad), jnp.bfloat16).at[:n, :p].set(X)
