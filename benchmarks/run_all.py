@@ -326,6 +326,70 @@ def bench_result_layer():
         _emit(metric, wall, {'n_space': p, 'complex': bool(on_tpu)})
 
 
+def bench_streamed_boot():
+    """Config 10: Gram-space bootstrap of a chunk-backed model at
+    north-star scale (stats/streaming_boot.py) vs the resident
+    bootstrap of the same data.
+
+    Three regimes with fundamentally different data-movement cost:
+    * axis=0 unrotated — pure index algebra on the stored temporal
+      Grams, ZERO passes over the data;
+    * axis=0 rotated — one streamed projection pass per run batch
+      (per-run weight stacks against every chunk);
+    * axis=1 rotated — one counts-weighted Gram pass + one pooled
+      projection pass per run batch.
+    On the tunneled TPU the per-pass cost is dominated by re-uploading
+    the chunks (~45 MB/s link); a production host feeds chunks at
+    PCIe/disk rates instead, so the per-batch pass costs scale down by
+    ~100x there while the axis=0 unrotated numbers carry over as-is.
+    """
+    jax, on_tpu = _setup()
+    from xmca_tpu.array import MCA
+    if on_tpu:
+        n_obs, p, chunk, n_runs, batch = 2000, 100_000, 12_500, 16, 8
+        n_runs_a0 = 64
+    else:
+        n_obs, p, chunk, n_runs, batch = 256, 4096, 640, 8, 4
+        n_runs_a0 = 16
+    Xl, Xr = _fields(jax, n_obs, p, p)
+
+    def loader(X):
+        def chunks():
+            for s in range(0, p, chunk):
+                yield X[:, s:s + chunk]
+        return chunks
+
+    ms = MCA.from_chunks(loader(Xl), loader(Xr), n_observations=n_obs,
+                         left_shape=(p,), right_shape=(p,))
+    ms.set_solver(truncate=10, batch_size=batch)
+    ms.solve()
+
+    def timed(metric, m, n_runs, **kw):
+        kw.setdefault('block_size', 8)
+        kw.setdefault('disable_progress', True)
+        m.bootstrapping(n_runs, 10, seed=0, **kw)     # warm (compile)
+        t0 = time.perf_counter()
+        bs = m.bootstrapping(n_runs, 10, seed=1, **kw)
+        wall = time.perf_counter() - t0
+        assert np.isfinite(bs).any()
+        _emit(metric, wall, {'runs': n_runs,
+                             'ms_per_run': round(1e3 * wall / n_runs, 1)})
+
+    timed('streamed_boot_axis0_s', ms, n_runs_a0)
+    ms.rotate(10)
+    timed('streamed_boot_axis0_rot_s', ms, n_runs)
+    timed('streamed_boot_axis1_rot_s', ms, n_runs, axis=1)
+
+    # resident comparison on the same data (fits in memory here; the
+    # streamed path exists for when it does not)
+    mr = MCA(Xl, Xr)
+    mr.set_solver(truncate=10, batch_size=None)
+    mr.solve()
+    timed('resident_boot_axis0_s', mr, n_runs_a0)
+    mr.rotate(10)
+    timed('resident_boot_axis0_rot_s', mr, n_runs)
+
+
 ALL = {
     'airtemp': bench_airtemp,
     'rotation': bench_rotation,
@@ -336,6 +400,7 @@ ALL = {
     'promax_ensemble': bench_promax_ensemble,
     'streamed': bench_streamed,
     'result_layer': bench_result_layer,
+    'streamed_boot': bench_streamed_boot,
 }
 
 if __name__ == '__main__':
