@@ -6,10 +6,11 @@ golden replay in ``scripts/tpu_checks.py`` could pin rotated output only
 by finiteness until round 5 — exactly the numeric surface the round-3
 Newton-Schulz trailing-mode collapse lived in.  This script computes the
 varimax-rotated EOFs/PCs/variance of the reference's sst x prcp fixtures
-once on the CPU float64 parity path (the configuration the CPU suite
-pins against the live reference rotation at 1e-5,
-tests/integration/test_reference_differential.py) and stores them as
-``tests/oracles/rotated_golden_f64.npz``; ``tpu_checks.py`` compares the
+once on the CPU backend (the fixture .nc files store float32, so the
+pipeline runs f32 even under x64 — bitwise-stable on CPU; the f64
+parity suite pins this same rotation against the live reference at
+1e-5, tests/integration/test_reference_differential.py) and stores them as
+``tests/oracles/rotated_golden_cpu.npz``; ``tpu_checks.py`` compares the
 TPU f32 rotated output against this file after sign alignment.
 
 Run on CPU: ``python scripts/make_rotated_golden.py``.
@@ -49,7 +50,7 @@ def main():
     pcs = m.pcs(N_ROT)
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        'tests', 'oracles', 'rotated_golden_f64.npz',
+        'tests', 'oracles', 'rotated_golden_cpu.npz',
     )
     np.savez_compressed(
         out,

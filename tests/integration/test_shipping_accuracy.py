@@ -103,6 +103,7 @@ def test_golden_f32_truncated(fixtures_path, f32_fields, analysis, cplx):
     assert np.nanmax(np.abs(unit(aligned) - unit(V1))) < 1e-4
 
 
+@pytest.mark.slow
 def test_rule_n_bf16_matches_f32_quantiles():
     """bfloat16 surrogate draws do not move the Rule-N null quantiles.
 

@@ -77,6 +77,7 @@ def test_bootstrapping_block_divisibility(solved, sst):
         )
 
 
+@pytest.mark.slow
 def test_bootstrapping_honors_ensemble_tol(sst, prcp, monkeypatch):
     """set_solver(ensemble_tol=...) governs the bootstrap rotation
     tolerance (same Monte-Carlo argument as rule_n), and a loose
@@ -163,6 +164,7 @@ def test_rule_n_mesh_batch_smaller_than_devices(sst, prcp):
     np.testing.assert_allclose(sharded, unsharded, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_rule_n_generated_mesh_matches_unsharded(sst, prcp):
     """The generated (bit-transform-draw) ensemble honors a mesh.
 
@@ -259,6 +261,7 @@ def test_iterative_bootstrap_monotone_structure(solved):
     assert np.isfinite(np.asarray(bs)).all()
 
 
+@pytest.mark.slow
 def test_rule_n_ensemble_tol_override(sst, prcp):
     """set_solver(ensemble_tol=1e-4) — the loose rotation tolerance the
     TPU generated-noise path auto-selects (paired with the short

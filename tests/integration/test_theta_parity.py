@@ -77,6 +77,7 @@ def _oracle_complexify(f, period=PERIOD):
     return z - z.mean(axis=0)
 
 
+@pytest.mark.slow
 def test_theta_extension_induced_mode_error(centered):
     """Bound the deviation the re-derived theta induces on the solved
     complex-extended modes (solve(complexify=True, extend='theta'))."""

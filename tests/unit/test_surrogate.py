@@ -279,6 +279,7 @@ def test_syrk_matches_dense_exactly():
     np.testing.assert_array_equal(G, G.T)
 
 
+@pytest.mark.slow
 def test_fast_surrogate_variance_tri_contract():
     """The triangle-Gram surrogate pipeline (the TPU production path)
     runs under Pallas interpret mode and returns a sorted, finite,

@@ -916,15 +916,19 @@ class MCA:
         # reference guard parity (xmca/array.py:533: np.isnan(X).all()):
         # packed fields carry no NaN by construction, so the device scan
         # only matters after a NaN-introducing mutation (NaN weights,
-        # zero-std normalize) — tracked host-side; the scan's two
-        # blocking tunnel roundtrips (~0.1 s) stay off the hot path
-        if getattr(self, '_nan_guard_dirty', False) and any(
-            bool(_all_nan_dev(field))
-            for field in self._fields.values()
-        ):
-            raise RuntimeError(
-                'Fields are empty. Did you forget to load data?'
-            )
+        # zero-std normalize) — tracked host-side.  The scans DISPATCH
+        # here (async, ~1 ms of memory-bound device work each) but their
+        # flags are read only after the solve's own blocking readback
+        # (`_check_nan_guard`), so the two tunnel roundtrips (~0.1 s,
+        # which the normalize+coslat+solve pipeline would otherwise pay
+        # on every solve) overlap the solve execution.  With all-NaN
+        # fields the solve computes NaN garbage first and the same
+        # RuntimeError surfaces before any result is installed.
+        nan_guard = None
+        if getattr(self, '_nan_guard_dirty', False):
+            nan_guard = [
+                _all_nan_dev(field) for field in self._fields.values()
+            ]
         # a previous fold solve may have deferred its complexification;
         # re-solves operate on the complexified fields (reference
         # parity: solve mutates the stored data permanently).  When THIS
@@ -976,6 +980,14 @@ class MCA:
                 float(singular_values.sum()),
                 float((singular_values ** 2).sum()),
             )
+        if nan_guard is not None:
+            # the solve's readback above already waited for the device
+            # stream, so these flag reads cost ~nothing (see dispatch
+            # site); raise before installing any result
+            if any(bool(flag) for flag in nan_guard):
+                raise RuntimeError(
+                    'Fields are empty. Did you forget to load data?'
+                )
         # singular vectors stay ON DEVICE; the host copy materializes
         # lazily on first `_V` access.  The (p, k) vectors are the largest
         # solve output, and a tunneled TPU link moves them at ~45 MB/s —
@@ -1183,8 +1195,14 @@ class MCA:
         L = L * jnp.asarray(
             sqrt_svals, dtype=jnp.finfo(L.dtype).dtype
         )
+        # HIGHEST-precision matmuls: the public rotation is the user's
+        # analysis (one call, thin contractions — cost unmeasurable);
+        # on TPU the default tier's bf16 passes drift the rotated
+        # variance by ~3e-2 across the fixed point's ~50 iterations
+        # (measured against the stored CPU golden, scripts/tpu_checks)
         L_rot, R, Phi, converged, _ = _promax1(
-            L, power=int(power), max_iter=1000, tol=tol
+            L, power=int(power), max_iter=1000, tol=tol,
+            precision='highest',
         )
         # norms reduce on device; only two (n_rot,) vectors come home
         if self._analysis['is_bivariate']:

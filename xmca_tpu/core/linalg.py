@@ -218,7 +218,7 @@ def ns_polar_iterate_scaled(A, scales, dot=None):
     return W
 
 
-def unitary_polar_factor(A, method='svd'):
+def unitary_polar_factor(A, method='svd', dot=None):
     """Unitary polar factor of ``A`` plus its nuclear norm.
 
     The varimax update (reference xmca/tools/rotation.py:59-61) is
@@ -236,14 +236,20 @@ def unitary_polar_factor(A, method='svd'):
         criteria are well-conditioned enough that shorter counts
         converge (measured in benchmarks/RESULTS.md).
 
+    ``dot`` picks the matmul of the NS variants (default operator
+    precision; public rotations pass a HIGHEST wrapper — on TPU the
+    default f32 matmul's bf16 passes inject ~1e-3 per iterate).
+
     Returns (W, nuclear_norm).
     """
+    if dot is None:
+        dot = jnp.matmul
     if method == 'polar':
         W, P = jax.scipy.linalg.polar(A, side='right')
         return W, jnp.trace(P).real
     if method.startswith('ns') and method[2:].isdigit():
-        W = ns_polar_iterate(A, int(method[2:]))
-        return W, jnp.real(jnp.trace(W.conj().T @ A))
+        W = ns_polar_iterate(A, int(method[2:]), dot=dot)
+        return W, jnp.real(jnp.trace(dot(W.conj().T, A)))
     if method == 'ns':
         # Fixed-count Newton-Schulz: 30 fused matmul steps.  Valid ONLY
         # for well-conditioned inputs (sigma_min/||A||_F well above
@@ -256,8 +262,8 @@ def unitary_polar_factor(A, method='svd'):
         # collapses those columns of R geometrically to exact zero
         # (observed at north-star scale in f32; regression test in
         # tests/unit/test_core.py).
-        W = ns_polar_iterate(A, 30)
-        return W, jnp.real(jnp.trace(W.conj().T @ A))
+        W = ns_polar_iterate(A, 30, dot=dot)
+        return W, jnp.real(jnp.trace(dot(W.conj().T, A)))
     if method == 'ns-gated':
         # Convergence-gated Newton-Schulz: iterate on the orthogonality
         # defect, bounded at 80 steps (enough for sigma_min down to
@@ -273,9 +279,9 @@ def unitary_polar_factor(A, method='svd'):
 
         def ns_body(state):
             i, W, _ = state
-            H = W.conj().T @ W
+            H = dot(W.conj().T, W)
             defect = jnp.linalg.norm(H - eye)
-            W = 1.5 * W - 0.5 * (W @ H)
+            W = 1.5 * W - 0.5 * dot(W, H)
             return i + 1, W, defect
 
         def ns_cond(state):
@@ -286,7 +292,7 @@ def unitary_polar_factor(A, method='svd'):
         _, W, _ = jax.lax.while_loop(
             ns_cond, ns_body, (jnp.zeros((), jnp.int32), W0, start)
         )
-        d = jnp.real(jnp.trace(W.conj().T @ A))
+        d = jnp.real(jnp.trace(dot(W.conj().T, A)))
         return W, d
     u, s, vh = jnp.linalg.svd(A)
     return u @ vh, jnp.sum(s)

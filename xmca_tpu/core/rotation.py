@@ -39,13 +39,35 @@ def _auto_polar_method():
     return 'svd' if jax.default_backend() == 'cpu' else 'ns-gated'
 
 
-@partial(jax.jit, static_argnames=('max_iter', 'polar_method'))
-def varimax(A, gamma=1.0, max_iter=1000, tol=1e-8, polar_method=None):
+def _dot_for(precision):
+    """Matmul at the requested precision tier.
+
+    ``'highest'`` forces true-f32 accumulation — on TPU the default f32
+    matmul runs in bf16 passes (~1e-3 relative), and the varimax fixed
+    point integrates that noise across its ~50 iterations: measured
+    2.8e-2 relative drift of the rotated variance on the reference
+    fixtures at default precision vs 2e-3 at HIGHEST (the remaining
+    2e-3 is the NS-vs-SVD polar difference, scripts/tpu_checks.py).
+    The criterion contraction is (p, k) x (k, k)-thin, so HIGHEST costs
+    nothing measurable on the public rotate; Monte-Carlo ensembles keep
+    the default tier (their quantiles cannot resolve the difference).
+    """
+    if precision == 'highest':
+        hi = jax.lax.Precision.HIGHEST
+        return lambda a, b: jnp.matmul(a, b, precision=hi)
+    return jnp.matmul
+
+
+@partial(jax.jit,
+         static_argnames=('max_iter', 'polar_method', 'precision'))
+def varimax(A, gamma=1.0, max_iter=1000, tol=1e-8, polar_method=None,
+            precision='default'):
     """Orthogonal Varimax rotation with Kaiser normalization.
 
     Parameters mirror the reference (xmca/tools/rotation.py:15); `gamma=1`
     is varimax, `gamma=0` quartimax.  ``polar_method`` defaults per
-    backend (see ``_auto_polar_method``).
+    backend (see ``_auto_polar_method``); ``precision`` picks the
+    matmul tier (see ``_dot_for``).
 
     Returns
     -------
@@ -56,6 +78,7 @@ def varimax(A, gamma=1.0, max_iter=1000, tol=1e-8, polar_method=None):
     """
     if polar_method is None:
         polar_method = _auto_polar_method()
+    dot = _dot_for(precision)
     n, p = A.shape
     dtype = A.dtype
     # the relative nuclear-norm change cannot resolve below the compute
@@ -74,12 +97,13 @@ def varimax(A, gamma=1.0, max_iter=1000, tol=1e-8, polar_method=None):
 
     def body(state):
         i, R, d, _ = state
-        basis = An @ R
+        basis = dot(An, R)
         col_ss = jnp.sum((basis * basis.conj()).real, axis=0)
-        criterion = An.conj().T @ (
+        criterion = dot(An.conj().T, (
             basis ** 2 * basis.conj() - gamma_n * (basis * col_ss[None, :])
-        )
-        R_new, d_new = unitary_polar_factor(criterion, method=polar_method)
+        ))
+        R_new, d_new = unitary_polar_factor(criterion,
+                                            method=polar_method, dot=dot)
         return i + 1, R_new, d_new, d
 
     def cond(state):
@@ -93,12 +117,15 @@ def varimax(A, gamma=1.0, max_iter=1000, tol=1e-8, polar_method=None):
 
     converged = jnp.abs(d - d_old) / jnp.where(d == 0, 1.0, d) < tol
     # de-normalize (A == h * An) and rotate
-    B = A @ R
+    B = dot(A, R)
     return B, R, converged, i
 
 
-@partial(jax.jit, static_argnames=('power', 'max_iter', 'polar_method'))
-def promax1(A, power=1, max_iter=1000, tol=1e-8, polar_method=None):
+@partial(jax.jit,
+         static_argnames=('power', 'max_iter', 'polar_method',
+                          'precision'))
+def promax1(A, power=1, max_iter=1000, tol=1e-8, polar_method=None,
+            precision='default'):
     """:func:`promax` compiled through a 1-element ``vmap``.
 
     XLA's batched lowering of the varimax fixed point produces a ~2x
@@ -108,13 +135,16 @@ def promax1(A, power=1, max_iter=1000, tol=1e-8, polar_method=None):
     """
     out = jax.vmap(
         lambda L: promax(L, power=power, max_iter=max_iter, tol=tol,
-                         polar_method=polar_method)
+                         polar_method=polar_method, precision=precision)
     )(A[None])
     return jax.tree_util.tree_map(lambda x: x[0], out)
 
 
-@partial(jax.jit, static_argnames=('power', 'max_iter', 'polar_method'))
-def promax(A, power=1, max_iter=1000, tol=1e-8, polar_method=None):
+@partial(jax.jit,
+         static_argnames=('power', 'max_iter', 'polar_method',
+                          'precision'))
+def promax(A, power=1, max_iter=1000, tol=1e-8, polar_method=None,
+           precision='default'):
     """Oblique Promax rotation (power=1 reduces to Varimax).
 
     Returns (B, R, phi, converged, n_iter); the reference's signature plus
@@ -122,9 +152,11 @@ def promax(A, power=1, max_iter=1000, tol=1e-8, polar_method=None):
     """
     n, p = A.shape
     dtype = A.dtype
+    dot = _dot_for(precision)
 
     X, R, converged, n_iter = varimax(
-        A, max_iter=max_iter, tol=tol, polar_method=polar_method
+        A, max_iter=max_iter, tol=tol, polar_method=polar_method,
+        precision=precision,
     )
     if power == 1:
         # Varimax: orthogonal rotation, PCs stay uncorrelated
@@ -142,17 +174,17 @@ def promax(A, power=1, max_iter=1000, tol=1e-8, polar_method=None):
     P = Xn * jnp.abs(Xn) ** (power - 1)
 
     # least-squares fit L = (X^H X)^-1 X^H P
-    G = Xn_rows.conj().T @ Xn_rows
-    L = jnp.linalg.solve(G, Xn_rows.conj().T @ P)
+    G = dot(Xn_rows.conj().T, Xn_rows)
+    L = jnp.linalg.solve(G, dot(Xn_rows.conj().T, P))
 
     # rescale columns by sqrt(diag(inv(L^H L)))
-    sigma_inv = jnp.diag(jnp.diag(jnp.linalg.pinv(L.conj().T @ L)))
-    L = L @ jnp.sqrt(sigma_inv.astype(dtype))
+    sigma_inv = jnp.diag(jnp.diag(jnp.linalg.pinv(dot(L.conj().T, L))))
+    L = dot(L, jnp.sqrt(sigma_inv.astype(dtype)))
 
-    B = Xn_rows @ L
+    B = dot(Xn_rows, L)
     B = h[:, None].astype(dtype) * B          # Kaiser de-normalization
-    R = R @ L
+    R = dot(R, L)
 
     L_inv = jnp.linalg.inv(L)
-    phi = L_inv @ L_inv.conj().T
+    phi = dot(L_inv, L_inv.conj().T)
     return B, R, phi, converged, n_iter
