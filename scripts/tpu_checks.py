@@ -174,6 +174,31 @@ def main():
     check('analytic-fold truncated solve == materialized-Z solve',
           err < 1e-3, f'(rel {err:.2e})')
 
+    # ---- 4c. the mixed-precision nuclear norm (round 5: NS iterates
+    # at the default tier, final two steps + trace at HIGHEST) against
+    # the exact spectrum sum of a wide-spectrum complex matrix
+    from xmca_tpu.core.linalg import kernel_svd
+    r1 = np.random.default_rng(7)
+    d = np.geomspace(1.0, 1e-6, 256)
+    Qm = np.linalg.qr(r1.standard_normal((256, 256))
+                      + 1j * r1.standard_normal((256, 256)))[0]
+    Mtest = (Qm * d) @ np.linalg.qr(
+        r1.standard_normal((256, 256))
+        + 1j * r1.standard_normal((256, 256))
+    )[0].conj().T
+    Md = to_device(Mtest.astype(np.complex64))
+
+    @jax.jit
+    def _nuc_and_svals(Md):
+        return _fast.nuclear_norm(Md), kernel_svd(Md, compute_uv=False)
+
+    nuc, sv = _nuc_and_svals(Md)
+    nuc = float(nuc)
+    ssum = float(jnp.sum(sv))
+    err = abs(nuc - ssum) / ssum
+    check('mixed-precision NS nuclear norm on-chip', err < 1e-4,
+          f'(rel {err:.2e} vs spectrum sum)')
+
     # ---- 5. fused result kernels on-chip: rotated EOFs/PCs, patterns,
     # reconstruction, predict all consume the device-resident basis
     eofs = m.eofs(4)

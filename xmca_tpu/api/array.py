@@ -178,6 +178,47 @@ def _real_product_kernel(S, W):
     return jnp.real(jnp.matmul(S, W.conj().T, precision=_HI))
 
 
+@partial(jax.jit,
+         static_argnames=('n_rot', 'power', 'bivariate', 'n_vars_left'))
+def _rotate_kernel(Vl, Vr, sqrt_svals, tol, *, n_rot, power, bivariate,
+                   n_vars_left):
+    """The whole public rotation as ONE device program + ONE flat real
+    readback: loadings assembly, promax fixed point (HIGHEST-precision
+    matmuls), per-field norms, and the rotation/correlation matrices
+    packed real (complex transfers are split by contract on axon).
+
+    The previous eager sequence (concat, scale, jit, norm stack, a
+    bool read, a norms read, an R/Phi transfer) paid ~6 remote
+    dispatches + 3 blocking roundtrips ≈ 0.15 s of pure latency at
+    north-star shapes; this is one dispatch + one read.
+    """
+    dtype = Vl.dtype
+    real_dtype = jnp.finfo(dtype).dtype
+    cols = [Vl[:, :n_rot]]
+    if bivariate:
+        cols.append(Vr[:, :n_rot])
+    L = (jnp.concatenate(cols, axis=0) if bivariate else cols[0]) \
+        * sqrt_svals.astype(real_dtype)[None, :]
+    L_rot, R, Phi, converged, _ = _promax1(
+        L, power=power, max_iter=1000, tol=tol, precision='highest'
+    )
+    if bivariate:
+        norm = jnp.stack([
+            jnp.linalg.norm(L_rot[:n_vars_left, :], axis=0),
+            jnp.linalg.norm(L_rot[n_vars_left:, :], axis=0),
+        ])
+    else:
+        norm = jnp.tile(jnp.linalg.norm(L_rot, axis=0)[None, :], (2, 1))
+    return jnp.concatenate([
+        norm.reshape(-1).astype(real_dtype),
+        converged.astype(real_dtype)[None],
+        jnp.real(R).reshape(-1).astype(real_dtype),
+        jnp.imag(R).reshape(-1).astype(real_dtype),
+        jnp.real(Phi).reshape(-1).astype(real_dtype),
+        jnp.imag(Phi).reshape(-1).astype(real_dtype),
+    ])
+
+
 @partial(jax.jit, static_argnames=('pool', 'keep'))
 def _pattern_kernel(X, Xs, V, whiten, R_it, order, cos_p, sin_p, *,
                     pool, keep):
@@ -1186,40 +1227,38 @@ class MCA:
         # loading stack is assembled from the device-resident singular
         # vectors — the host round trip (materialize + re-upload through
         # a ~45 MB/s tunnel) costs more than the rotation itself at
-        # production shapes.
+        # production shapes.  HIGHEST-precision matmuls: on TPU the
+        # default tier's bf16 passes drift the rotated variance by
+        # ~3e-2 across the fixed point's ~50 iterations (caught by the
+        # on-chip rotated-values golden, scripts/tpu_checks).  The whole
+        # stage runs as ONE fused program + ONE flat real readback
+        # (`_rotate_kernel`): the previous eager sequence paid ~6
+        # remote dispatches + 3 blocking roundtrips of pure latency.
         dev = self._basis_dev()
-        n_vars_left = dev['left'].shape[0]
-        L = jnp.concatenate(
-            [dev[k][:, :n_rot] for k in self._keys], axis=0
-        )
-        L = L * jnp.asarray(
-            sqrt_svals, dtype=jnp.finfo(L.dtype).dtype
-        )
-        # HIGHEST-precision matmuls: the public rotation is the user's
-        # analysis (one call, thin contractions — cost unmeasurable);
-        # on TPU the default tier's bf16 passes drift the rotated
-        # variance by ~3e-2 across the fixed point's ~50 iterations
-        # (measured against the stored CPU golden, scripts/tpu_checks)
-        L_rot, R, Phi, converged, _ = _promax1(
-            L, power=int(power), max_iter=1000, tol=tol,
-            precision='highest',
-        )
-        # norms reduce on device; only two (n_rot,) vectors come home
-        if self._analysis['is_bivariate']:
-            norm_dev = jnp.stack([
-                jnp.linalg.norm(L_rot[:n_vars_left, :], axis=0),
-                jnp.linalg.norm(L_rot[n_vars_left:, :], axis=0),
-            ])
-        else:
-            norm_dev = jnp.tile(
-                jnp.linalg.norm(L_rot, axis=0)[None, :], (2, 1)
-            )
-        if not bool(converged):
+        bivariate = self._analysis['is_bivariate']
+        n_vars_left = int(dev['left'].shape[0])
+        real_dtype = np.finfo(
+            np.dtype(dev['left'].dtype)
+        ).dtype
+        flat = np.asarray(_rotate_kernel(
+            dev['left'], dev[self._keys[-1]],
+            np.asarray(sqrt_svals, real_dtype),
+            np.asarray(tol, real_dtype),
+            n_rot=int(n_rot), power=int(power), bivariate=bivariate,
+            n_vars_left=n_vars_left,
+        ))
+        norm_np = flat[:2 * n_rot].reshape(2, n_rot)
+        if not bool(flat[2 * n_rot] > 0.5):
             raise RuntimeError(
                 'Rotation process did not converge. Try decreasing the '
                 'tolerance. Invalid NaN entries also might be a problem.'
             )
-        norm_np = np.asarray(norm_dev)
+        blocks = flat[2 * n_rot + 1:].reshape(4, n_rot, n_rot)
+        if np.iscomplexobj(np.zeros(0, dev['left'].dtype)):
+            R = blocks[0] + 1j * blocks[1]
+            Phi = blocks[2] + 1j * blocks[3]
+        else:
+            R, Phi = blocks[0], blocks[2]
         norm = {'left': norm_np[0], 'right': norm_np[1]}
 
         variance = norm['left'] * norm['right']
@@ -1229,11 +1268,8 @@ class MCA:
         self._variance = variance
         self._var_idx = var_idx
 
-        # one stacked transfer for the two (n_rot, n_rot) matrices —
-        # each tunnel round trip costs ~30 ms
-        RP = _to_np(jnp.stack([R, Phi]))
-        self._rotation_matrix = RP[0]
-        self._correlation_matrix = RP[1]
+        self._rotation_matrix = R
+        self._correlation_matrix = Phi
         self._R_dev_cache = None
         self._analysis['is_rotated'] = True
         self._analysis['n_rot'] = n_rot

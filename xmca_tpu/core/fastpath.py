@@ -35,7 +35,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from xmca_tpu.core.linalg import (ns_polar_iterate_scaled,
+from xmca_tpu.core.linalg import (ns_polar_apply,
+                                  ns_polar_iterate_scaled,
                                   ns_polar_schedule)
 
 # Gram/kernel contractions feed Cholesky and Ritz extraction; on TPU the
@@ -48,6 +49,12 @@ _HI = jax.lax.Precision.HIGHEST
 
 def _dot_hi(a, b):
     return jnp.matmul(a, b, precision=_HI)
+
+
+def _dot_high(a, b):
+    # 3-pass bf16 (~f32 accuracy, half the MXU cost of HIGHEST's 6
+    # passes) — the mixed-precision nuclear norm's bulk tier.
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGH)
 
 
 def _data_dot(a, b):
@@ -481,12 +488,30 @@ def nuclear_norm(M):
     schedule (xmca_tpu.core.linalg.ns_polar_schedule) drives all
     singular values of the Frobenius-prescaled iterate to 1; the
     nuclear norm is then ``Re tr(W^H M)``.  Pure matmuls — no
-    factorization at all.  The schedule covers sigma_min/fro down to
-    1e-9 in ~27 steps at HIGHEST precision — ~2x fewer matmuls than
-    the previous fixed-50 unscaled iteration AND convergent in the
-    tiny-singular-value regime where that one was not.
+    factorization at all.
+
+    Mixed precision (round 5): all steps but the last two run at HIGH
+    (3-pass bf16, near-f32 accuracy, half the MXU cost of HIGHEST's 6
+    passes); the final two steps and the trace run at HIGHEST.
+    ``Re tr(W^H M)`` is *first-order stationary* under unitary
+    perturbations of the polar factor (``tr(skew x hermitian)`` is
+    purely imaginary), so per-step matmul noise enters the total only
+    through (a) the radial (singular-value) deviation, which the exact
+    final steps contract quadratically (``f(1+e) = 1 - 1.5 e^2``:
+    1e-3 -> 1.5e-6 -> ~0), and (b) second-order unitary drift.  The
+    bulk tier must still resolve the TINY singular directions the
+    scaled schedule amplifies: a first attempt at the operator's
+    DEFAULT tier (1-pass bf16, ~4e-3 input rounding) scrambled the
+    near-null subspace of a cond-1e6 test matrix into spurious
+    directions and missed the spectrum sum by 1.7e-1 on a real v5e —
+    HIGH's ~1e-7 noise keeps 1e-6-relative singular values 10x above
+    the noise floor.  Accuracy vs the exact spectrum sum is asserted
+    on-chip (scripts/tpu_checks.py).
     """
-    W = ns_polar_iterate_scaled(M, _NS_SCALES_EXACT, dot=_dot_hi)
+    fro = jnp.linalg.norm(M)
+    W = M / jnp.where(fro == 0, 1.0, fro)
+    W = ns_polar_apply(W, _NS_SCALES_EXACT[:-2], dot=_dot_high)
+    W = ns_polar_apply(W, _NS_SCALES_EXACT[-2:], dot=_dot_hi)
     return jnp.real(jnp.trace(_dot_hi(W.conj().T, M)))
 
 

@@ -199,6 +199,20 @@ def ns_polar_schedule(l0=1e-9, tol=1e-7, max_steps=64):
     return scales
 
 
+def ns_polar_apply(W, scales, dot=None):
+    """Apply scaled NS steps to an ALREADY-prescaled iterate.
+
+    Split out of :func:`ns_polar_iterate_scaled` so callers can run a
+    schedule's phases at different matmul precisions (the
+    mixed-precision nuclear norm) without re-prescaling in between.
+    """
+    if dot is None:
+        dot = jnp.matmul
+    for s in scales:
+        W = (1.5 * s) * W - (0.5 * s ** 3) * dot(W, dot(W.conj().T, W))
+    return W
+
+
 def ns_polar_iterate_scaled(A, scales, dot=None):
     """Scaled Newton-Schulz polar iterate with a precomputed schedule.
 
@@ -209,13 +223,9 @@ def ns_polar_iterate_scaled(A, scales, dot=None):
     iteration needs 50+ (and never fully converges the tiniest
     directions).  Zero-safe like the unscaled variant.
     """
-    if dot is None:
-        dot = jnp.matmul
     fro = jnp.linalg.norm(A)
     W = A / jnp.where(fro == 0, 1.0, fro)
-    for s in scales:
-        W = (1.5 * s) * W - (0.5 * s ** 3) * dot(W, dot(W.conj().T, W))
-    return W
+    return ns_polar_apply(W, scales, dot=dot)
 
 
 def unitary_polar_factor(A, method='svd', dot=None):
