@@ -183,6 +183,65 @@ def test_promax_properties(xy):
     assert np.abs(phi - np.eye(10)).max() > 1e-3
 
 
+def test_varimax_mode_space_identity():
+    """space='mode' is an EXACT rewrite of the data-space fixed point:
+    the criterion is a cubic form in R against the one-time
+    fourth-moment tensor of the Kaiser-normalized stack, so a tall
+    loading stack iterates p-independently (the TPU surrogate-ensemble
+    default).  Same iterates to roundoff -> same B/R/iteration count."""
+    rng = np.random.default_rng(11)
+    modes = rng.standard_normal((2000, 6)) @ np.diag(
+        [5.0, 4.0, 2.5, 1.5, 0.8, 0.4]
+    )
+    for make in (lambda: modes,
+                 lambda: modes + 0.2j * rng.standard_normal(modes.shape)):
+        L = jnp.asarray(make())
+        B_d, R_d, conv_d, it_d = varimax(L, space='data')
+        B_m, R_m, conv_m, it_m = varimax(L, space='mode')
+        assert bool(conv_d) and bool(conv_m)
+        assert int(it_d) == int(it_m)
+        assert_allclose(np.asarray(B_m), np.asarray(B_d), atol=1e-8)
+        assert_allclose(np.asarray(R_m), np.asarray(R_d), atol=1e-8)
+    # quartimax-leaning gamma exercises the G2-term bookkeeping
+    L = jnp.asarray(modes)
+    B_d, _, _, _ = varimax(L, gamma=0.5, space='data')
+    B_m, _, _, _ = varimax(L, gamma=0.5, space='mode')
+    assert_allclose(np.asarray(B_m), np.asarray(B_d), atol=1e-8)
+
+
+def test_promax_mode_space_identity():
+    rng = np.random.default_rng(12)
+    L = jnp.asarray(
+        rng.standard_normal((2000, 6)) * np.geomspace(5, 0.5, 6)
+        + 0.1j * rng.standard_normal((2000, 6))
+    )
+    out_d = promax(L, power=4, space='data')
+    out_m = promax(L, power=4, space='mode')
+    for a, b in zip(out_d[:3], out_m[:3]):
+        assert_allclose(np.asarray(b), np.asarray(a), atol=1e-8)
+
+
+def test_varimax_ensemble_space_gate():
+    from xmca_tpu.core.rotation import ensemble_space
+    assert ensemble_space(200_000, 10, 8) == 'mode'
+    assert ensemble_space(200, 10, 8) == 'data'        # short stack
+    assert ensemble_space(200_000, 64, 8) == 'data'    # too many modes
+    assert ensemble_space(10_000_000, 32, 16) == 'data'  # intermediate > 512MB
+
+
+def test_varimax_default_space_is_data():
+    """The public default stays 'data': at f32 the mode-space quartic
+    contraction adds ~1e-3 iterate noise (measured), which would break
+    the save->load / streamed==resident reproducibility contracts that
+    hold at ~1e-5.  Only the generated-null surrogate pipelines opt in."""
+    rng = np.random.default_rng(13)
+    L = jnp.asarray(rng.standard_normal((4000, 6)))   # tall: gate says mode
+    B_def, R_def, _, it_def = varimax(L)
+    B_dat, R_dat, _, it_dat = varimax(L, space='data')
+    assert int(it_def) == int(it_dat)
+    assert np.array_equal(np.asarray(B_def), np.asarray(B_dat))
+
+
 def test_exp_forecast_continues_trend():
     t = np.arange(200, dtype=np.float64)
     field = np.stack([2.0 * t + 5.0, -1.5 * t + 3.0], axis=1)

@@ -251,7 +251,7 @@ def fast_rotated_variance_analytic(Xl, Xr, H, key, n_rot, power=1,
     data-sized op is one real MXU Gram per field (plus a thin tall matmul
     for the loadings) — no FFT, no complex Gram.
     """
-    from xmca_tpu.core.rotation import promax
+    from xmca_tpu.core.rotation import ensemble_space, promax
 
     if Xr is None or not bivariate:
         Xr = Xl
@@ -346,7 +346,7 @@ def fast_rotated_loadings(Xl, Xr, key, n_rot, n_iter=8, jitter_rel=1e-6,
 def rotated_variance_from_loadings(L, n_vars_left, power=1, tol=1e-8,
                                    bivariate=True, polar_method='ns'):
     """Stage-B: rotate a loading stack and return the variance spectrum."""
-    from xmca_tpu.core.rotation import promax
+    from xmca_tpu.core.rotation import ensemble_space, promax
     L_rot, R, phi, converged, _ = promax(
         L, power=power, tol=tol, polar_method=polar_method
     )
@@ -561,7 +561,7 @@ def fast_rotated_variance(Xl, Xr, key, n_rot, power=1, tol=1e-8,
     all.  Spatial loadings are recovered with triangular solves:
     ``V_l = X_l^H (La^-H U)``.
     """
-    from xmca_tpu.core.rotation import promax
+    from xmca_tpu.core.rotation import ensemble_space, promax
 
     if Xr is None:
         Xr = Xl
@@ -658,7 +658,7 @@ def fast_surrogate_variance_gen(seed, key, n_obs, n_vars, H=None,
     Returns ``(variance, total, converged)`` with the same contract as
     ``xmca_tpu.stats.significance._surrogate_variance``.
     """
-    from xmca_tpu.core.rotation import promax
+    from xmca_tpu.core.rotation import ensemble_space, promax
     from xmca_tpu.ops.surrogate import (surrogate_gram, surrogate_project,
                                         centered_gram_from_raw)
 
@@ -718,7 +718,12 @@ def fast_surrogate_variance_gen(seed, key, n_obs, n_vars, H=None,
         L = Vl * sqrt_s[None, :]
     n_vars_left = Vl.shape[0]
     L_rot, R, phi, converged, _ = promax(
-        L, power=power, tol=tol, polar_method=polar_method
+        L, power=power, tol=tol, polar_method=polar_method,
+        # generated-null ensemble: mode-space fixed point when the
+        # stack is tall (exact rewrite; ~1e-3 f32 iterate noise is
+        # ~70x below the null quantiles' Monte-Carlo noise)
+        space=ensemble_space(L.shape[0], L.shape[1],
+                             L.dtype.itemsize)
     )
     norm_left = jnp.linalg.norm(L_rot[:n_vars_left, :], axis=0)
     if bivariate:
@@ -783,7 +788,7 @@ def fast_surrogate_variance_int8(seed, key, n_obs, n_vars, H=None,
     tests/integration/test_significance.py); same contract as
     :func:`fast_surrogate_variance_gen`.
     """
-    from xmca_tpu.core.rotation import promax
+    from xmca_tpu.core.rotation import ensemble_space, promax
     from xmca_tpu.ops.surrogate import bits_field
 
     seed = jnp.asarray(seed).astype(jnp.int32)
@@ -838,7 +843,12 @@ def fast_surrogate_variance_int8(seed, key, n_obs, n_vars, H=None,
         L = Vl * sqrt_s[None, :]
     n_vars_left = Vl.shape[0]
     L_rot, _, _, converged, _ = promax(
-        L, power=power, tol=tol, polar_method=polar_method
+        L, power=power, tol=tol, polar_method=polar_method,
+        # generated-null ensemble: mode-space fixed point when the
+        # stack is tall (exact rewrite; ~1e-3 f32 iterate noise is
+        # ~70x below the null quantiles' Monte-Carlo noise)
+        space=ensemble_space(L.shape[0], L.shape[1],
+                             L.dtype.itemsize)
     )
     norm_left = jnp.linalg.norm(L_rot[:n_vars_left, :], axis=0)
     if bivariate:
@@ -886,7 +896,7 @@ def fast_surrogate_variance_tri(seed, key, n_obs, n_vars, H=None,
     on-chip, scripts/tri_stage_probe.py); the analysis' own solve
     never uses this grade.
     """
-    from xmca_tpu.core.rotation import promax
+    from xmca_tpu.core.rotation import ensemble_space, promax
     from xmca_tpu.ops.surrogate import bits_field
     from xmca_tpu.ops.syrk import pad_to, syrk
 
@@ -969,7 +979,12 @@ def fast_surrogate_variance_tri(seed, key, n_obs, n_vars, H=None,
         L = Vl * sqrt_s[None, :]
     n_vars_left = Vl.shape[0]
     L_rot, _, _, converged, _ = promax(
-        L, power=power, tol=tol, polar_method=polar_method
+        L, power=power, tol=tol, polar_method=polar_method,
+        # generated-null ensemble: mode-space fixed point when the
+        # stack is tall (exact rewrite; ~1e-3 f32 iterate noise is
+        # ~70x below the null quantiles' Monte-Carlo noise)
+        space=ensemble_space(L.shape[0], L.shape[1],
+                             L.dtype.itemsize)
     )
     norm_left = jnp.linalg.norm(L_rot[:n_vars_left, :], axis=0)
     if bivariate:

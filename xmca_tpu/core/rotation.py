@@ -58,16 +58,68 @@ def _dot_for(precision):
     return jnp.matmul
 
 
+def ensemble_space(n, p, itemsize):
+    """Shape gate for opting a MONTE-CARLO ensemble into 'mode' space.
+
+    'mode' runs every iteration on k-space tensors after a one-time
+    fourth-moment contraction (see :func:`varimax`); it pays
+    ``n * p^4`` build MACs plus an ``(n, p^2)`` intermediate, and wins
+    when the loading stack is tall (each data-space iteration re-reads
+    the whole (n, p) stack ~3x) and the mode count is small.  The
+    gates: the intermediate must stay under ~512 MB and the build must
+    amortize within a typical iteration count (n >= 32 p^2 puts the
+    build at <= ~p^2/32 data-iterations' worth of traffic).
+
+    Only the generated-null surrogate pipelines consult this gate.
+    'mode' is NOT the general default because at f32 the quartic-tensor
+    contraction adds ~1e-3-relative iterate noise (measured: 1e-6
+    input perturbations reach the rotated loadings at 1.7e-3 via
+    'mode' vs 2.7e-6 via 'data') — harmless under a null quantile's
+    ~6% Monte-Carlo noise, but it breaks run-for-run reproducibility
+    contracts (save->load replays, streamed==resident bootstrap
+    equality) that hold to ~1e-5 in data space."""
+    return ('mode'
+            if p <= 32 and n >= 32 * p * p
+            and n * p * p * itemsize <= 512 * 1024 ** 2
+            else 'data')
+
+
 @partial(jax.jit,
-         static_argnames=('max_iter', 'polar_method', 'precision'))
+         static_argnames=('max_iter', 'polar_method', 'precision',
+                          'space'))
 def varimax(A, gamma=1.0, max_iter=1000, tol=1e-8, polar_method=None,
-            precision='default'):
+            precision='default', space=None):
     """Orthogonal Varimax rotation with Kaiser normalization.
 
     Parameters mirror the reference (xmca/tools/rotation.py:15); `gamma=1`
     is varimax, `gamma=0` quartimax.  ``polar_method`` defaults per
     backend (see ``_auto_polar_method``); ``precision`` picks the
     matmul tier (see ``_dot_for``).
+
+    ``space`` picks where the fixed point iterates (default 'data';
+    Monte-Carlo ensembles opt into 'mode' via :func:`ensemble_space`):
+
+    * ``'data'`` — the textbook iteration: every step forms
+      ``basis = An R`` and contracts the elementwise-cubic criterion
+      against the full ``(n, p)`` loading stack (memory-bound at tall
+      stacks: ~3 passes over the stack per step, and surrogate
+      iteration counts are heavy-tailed, 2..530).
+    * ``'mode'`` — EXACT algebraic rewrite: every iterate lives in the
+      span of the fixed Kaiser-normalized stack, so the criterion is a
+      cubic form in ``R`` contracted against the one-time fourth-moment
+      tensor ``T[(a,d),(b,c)] = sum_v conj(An_va An_vd) An_vb An_vc``
+      (one Gram of the ``(n, p^2)`` column-pair products) and the
+      Gram ``G2 = An^H An``:
+      ``crit = reshape(T @ (R_bm R_cm), (p,p,p)) . conj(R)  -
+      gamma/n * (G2 R) diag(col_ss)`` with
+      ``col_ss = diag(R^H G2 R)``.  Each step is p-independent
+      (~p^5 MACs, k=10 -> 1e5) instead of a ~3x pass over the stack —
+      the identity that moves the whole while_loop off the HBM-bound
+      path.  No approximation: same criterion matrix, same polar, same
+      convergence scalar, to roundoff — but at f32 that roundoff is
+      ~1e-3-relative on the rotated loadings (the quartic contraction
+      cancels harder than the data-space sum), so 'mode' is reserved
+      for Monte-Carlo ensembles whose statistics cannot resolve it.
 
     Returns
     -------
@@ -81,6 +133,8 @@ def varimax(A, gamma=1.0, max_iter=1000, tol=1e-8, polar_method=None,
     dot = _dot_for(precision)
     n, p = A.shape
     dtype = A.dtype
+    if space is None:
+        space = 'data'
     # the relative nuclear-norm change cannot resolve below the compute
     # dtype's roundoff floor (the criterion matrix mixes columns with large
     # dynamic range); clamp so f32 runs terminate at their achievable
@@ -95,16 +149,36 @@ def varimax(A, gamma=1.0, max_iter=1000, tol=1e-8, polar_method=None,
 
     gamma_n = jnp.asarray(gamma / n, dtype=real_dtype)
 
-    def body(state):
-        i, R, d, _ = state
-        basis = dot(An, R)
-        col_ss = jnp.sum((basis * basis.conj()).real, axis=0)
-        criterion = dot(An.conj().T, (
-            basis ** 2 * basis.conj() - gamma_n * (basis * col_ss[None, :])
-        ))
-        R_new, d_new = unitary_polar_factor(criterion,
-                                            method=polar_method, dot=dot)
-        return i + 1, R_new, d_new, d
+    if space == 'mode':
+        G2 = dot(An.conj().T, An)
+        Q = (An[:, :, None] * An[:, None, :]).reshape(n, p * p)
+        T = dot(Q.conj().T, Q)
+
+        def body(state):
+            i, R, d, _ = state
+            V = dot(G2, R)
+            col_ss = jnp.sum((R.conj() * V).real, axis=0)
+            W = (R[:, None, :] * R[None, :, :]).reshape(p * p, p)
+            Y = dot(T, W).reshape(p, p, p)
+            crit1 = jnp.sum(Y * R.conj()[None, :, :], axis=1)
+            criterion = crit1 - gamma_n * (V * col_ss[None, :])
+            R_new, d_new = unitary_polar_factor(
+                criterion, method=polar_method, dot=dot
+            )
+            return i + 1, R_new, d_new, d
+    else:
+        def body(state):
+            i, R, d, _ = state
+            basis = dot(An, R)
+            col_ss = jnp.sum((basis * basis.conj()).real, axis=0)
+            criterion = dot(An.conj().T, (
+                basis ** 2 * basis.conj()
+                - gamma_n * (basis * col_ss[None, :])
+            ))
+            R_new, d_new = unitary_polar_factor(
+                criterion, method=polar_method, dot=dot
+            )
+            return i + 1, R_new, d_new, d
 
     def cond(state):
         i, _, d, d_old = state
@@ -123,9 +197,9 @@ def varimax(A, gamma=1.0, max_iter=1000, tol=1e-8, polar_method=None,
 
 @partial(jax.jit,
          static_argnames=('power', 'max_iter', 'polar_method',
-                          'precision'))
+                          'precision', 'space'))
 def promax1(A, power=1, max_iter=1000, tol=1e-8, polar_method=None,
-            precision='default'):
+            precision='default', space=None):
     """:func:`promax` compiled through a 1-element ``vmap``.
 
     XLA's batched lowering of the varimax fixed point produces a ~2x
@@ -135,16 +209,17 @@ def promax1(A, power=1, max_iter=1000, tol=1e-8, polar_method=None,
     """
     out = jax.vmap(
         lambda L: promax(L, power=power, max_iter=max_iter, tol=tol,
-                         polar_method=polar_method, precision=precision)
+                         polar_method=polar_method, precision=precision,
+                         space=space)
     )(A[None])
     return jax.tree_util.tree_map(lambda x: x[0], out)
 
 
 @partial(jax.jit,
          static_argnames=('power', 'max_iter', 'polar_method',
-                          'precision'))
+                          'precision', 'space'))
 def promax(A, power=1, max_iter=1000, tol=1e-8, polar_method=None,
-           precision='default'):
+           precision='default', space=None):
     """Oblique Promax rotation (power=1 reduces to Varimax).
 
     Returns (B, R, phi, converged, n_iter); the reference's signature plus
@@ -156,7 +231,7 @@ def promax(A, power=1, max_iter=1000, tol=1e-8, polar_method=None,
 
     X, R, converged, n_iter = varimax(
         A, max_iter=max_iter, tol=tol, polar_method=polar_method,
-        precision=precision,
+        precision=precision, space=space,
     )
     if power == 1:
         # Varimax: orthogonal rotation, PCs stay uncorrelated
