@@ -490,27 +490,33 @@ def nuclear_norm(M):
     nuclear norm is then ``Re tr(W^H M)``.  Pure matmuls — no
     factorization at all.
 
-    Mixed precision (round 5): all steps but the last two run at HIGH
-    (3-pass bf16, near-f32 accuracy, half the MXU cost of HIGHEST's 6
-    passes); the final two steps and the trace run at HIGHEST.
+    Mixed precision (round 5): the FIRST eight steps, the final two
+    steps, and the trace run at HIGHEST (6-pass bf16 = f32 accuracy);
+    the bulk in between runs at HIGH (3 passes, half the MXU cost).
     ``Re tr(W^H M)`` is *first-order stationary* under unitary
     perturbations of the polar factor (``tr(skew x hermitian)`` is
     purely imaginary), so per-step matmul noise enters the total only
     through (a) the radial (singular-value) deviation, which the exact
     final steps contract quadratically (``f(1+e) = 1 - 1.5 e^2``:
     1e-3 -> 1.5e-6 -> ~0), and (b) second-order unitary drift.  The
-    bulk tier must still resolve the TINY singular directions the
-    scaled schedule amplifies: a first attempt at the operator's
-    DEFAULT tier (1-pass bf16, ~4e-3 input rounding) scrambled the
-    near-null subspace of a cond-1e6 test matrix into spurious
-    directions and missed the spectrum sum by 1.7e-1 on a real v5e —
-    HIGH's ~1e-7 noise keeps 1e-6-relative singular values 10x above
-    the noise floor.  Accuracy vs the exact spectrum sum is asserted
-    on-chip (scripts/tpu_checks.py).
+    drift is imprinted by the EARLY max-scaled steps (scale ~1.732
+    repeated), where the schedule amplifies the tiny singular
+    directions it is trying to rescue: an on-chip tier-layout A/B
+    (scripts/ns_mix_probe.py + the front-prefix sweep) measured a
+    cond-1e6 stress matrix at rel 2.3e-4 with the bulk-HIGH-everywhere
+    layout, UNCHANGED by protecting the tail (back/tail6 layouts), but
+    cut to 3.5e-7 by protecting the first 8 steps; a production-like
+    jittered fold kernel went 8.7e-5 -> 1.2e-6.  A first attempt at
+    the operator's DEFAULT tier (1-pass bf16, ~4e-3 input rounding)
+    missed the spectrum sum by 1.7e-1 on a real v5e.  Cost of the
+    HIGHEST prefix: +15 ms once per solve (79.7 -> 94.7 ms at
+    (2048, 2048) complex).  Accuracy AND the mixing cost vs an
+    all-HIGHEST iterate are asserted on-chip (scripts/tpu_checks.py).
     """
     fro = jnp.linalg.norm(M)
     W = M / jnp.where(fro == 0, 1.0, fro)
-    W = ns_polar_apply(W, _NS_SCALES_EXACT[:-2], dot=_dot_high)
+    W = ns_polar_apply(W, _NS_SCALES_EXACT[:8], dot=_dot_hi)
+    W = ns_polar_apply(W, _NS_SCALES_EXACT[8:-2], dot=_dot_high)
     W = ns_polar_apply(W, _NS_SCALES_EXACT[-2:], dot=_dot_hi)
     return jnp.real(jnp.trace(_dot_hi(W.conj().T, M)))
 
