@@ -187,6 +187,22 @@ def test_rulen_generated_rademacher8_end_to_end():
     assert np.isfinite(totals).all() and (totals > 0).all()
 
 
+def test_rulen_generated_runs_per_dispatch_matches_dispatched():
+    """lax.map-fused Rule-N (runs_per_dispatch=k) returns the SAME runs
+    as the per-run dispatched path at the same seed — including the
+    cyclically padded short final batch (13 runs at k=5)."""
+    from xmca_tpu.stats import significance as sig
+    kw = dict(complexify=True, rotated=True, n_rot=4, dtype=np.float32,
+              seed=3, spectrum='fast', subspace_iters=8,
+              surrogate_source='generated', surrogate_dist='normal16')
+    s1, t1 = sig.rule_n_spectra(96, (64, 48), 13, **kw)
+    s2, t2 = sig.rule_n_spectra(96, (64, 48), 13,
+                                runs_per_dispatch=5, **kw)
+    assert s1.shape == s2.shape
+    np.testing.assert_allclose(s1, s2, rtol=0, atol=0)
+    np.testing.assert_allclose(t1, t2, rtol=0, atol=0)
+
+
 def test_bits_field_rademacher1_distribution():
     """'rademacher1' expands one random bit per element into the same
     +-1 int8 distribution as 'rademacher8' (fair independent signs)."""

@@ -327,6 +327,7 @@ class MCA:
         # path is both faster and reference-exact.
         self._solver_method = _DEFAULT_METHOD
         self._ensemble_batch_size = None
+        self._ensemble_runs_per_dispatch = None
         self._ensemble_mesh = None
         self._ensemble_axis = 'ensemble'
         self._ensemble_spectrum = (
@@ -416,7 +417,8 @@ class MCA:
                    subspace_iters=None, truncate=None, seed=None,
                    surrogate_dtype=None, surrogate_source=None,
                    surrogate_gen_dist=None, ensemble_tol=None,
-                   ensemble_subspace_iters=None):
+                   ensemble_subspace_iters=None,
+                   runs_per_dispatch=None):
         """Configure the TPU solver (extension over the reference API).
 
         Parameters
@@ -511,6 +513,17 @@ class MCA:
             criteria can be ill-conditioned; only the varimax stopping
             point loosens).  The analysis' own rotation
             (``rotate(tol=...)``) is unaffected.
+        runs_per_dispatch : int, optional
+            Generated-surrogate Rule-N runs fused into ONE device
+            program (``lax.map`` over the seed axis; single-device
+            only — a mesh keeps per-device dispatches).  On tunneled
+            backends the dispatched path is HOST-bound: each enqueue
+            costs ~18 ms regardless of the program (a trivial op
+            pipelines no faster than the full surrogate), so the chip
+            idles between runs.  Mapping k runs per dispatch pays one
+            enqueue per k runs while keeping runs sequential in-device
+            (heavy-tailed varimax tails never couple, unlike vmap
+            batching).  Default (None): dispatch per run.
         """
         if method is not None:
             if method not in ('gram', 'svd'):
@@ -553,6 +566,8 @@ class MCA:
             self._surrogate_gen_dist = surrogate_gen_dist
         if ensemble_tol is not None:
             self._ensemble_tol = float(ensemble_tol)
+        if runs_per_dispatch is not None:
+            self._ensemble_runs_per_dispatch = int(runs_per_dispatch)
 
     def set_field_names(self, left='left', right='right'):
         """Set names of the left/right field, used in plots and save files."""
@@ -2040,6 +2055,7 @@ class MCA:
                                     and jax.default_backend() == 'tpu'
                                     else 'normal16')),
                 progress=progress,
+                runs_per_dispatch=self._ensemble_runs_per_dispatch,
             )
         finally:
             close()

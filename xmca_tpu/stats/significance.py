@@ -89,7 +89,7 @@ def _scatter_batch(bufs, start, res):
 
 
 def _ensemble_map(fn, keys, batch_size, mesh=None, axis='ensemble',
-                  progress=None, extra_args=()):
+                  progress=None, extra_args=(), pad_to_batch=False):
     """Run a vmapped ensemble ``fn`` over ``keys`` in batches.
 
     ``fn`` must already be the jitted vmapped pipeline (see
@@ -99,6 +99,10 @@ def _ensemble_map(fn, keys, batch_size, mesh=None, axis='ensemble',
     runs the independent surrogates fully parallel across devices
     (DCN/ICI traffic: only the final gather).  ``progress`` is an optional
     callable receiving the per-batch run count (e.g. ``tqdm.update``).
+    ``pad_to_batch`` cyclically pads a short final batch up to the full
+    ``batch_size`` (for ``lax.map``-bodied programs whose leading axis is
+    baked into the compiled executable) — padded rows re-run earlier
+    seeds and are sliced off before scatter.
     """
     # keys are sliced HOST-side: device-slicing them would dispatch one
     # eager remote op per batch, and on a tunneled TPU backend each eager
@@ -112,10 +116,11 @@ def _ensemble_map(fn, keys, batch_size, mesh=None, axis='ensemble',
     if mesh is not None:
         n_dev = mesh.shape[axis]
         sharding = NamedSharding(mesh, P(axis))
+    pad_unit = batch_size if pad_to_batch else n_dev
     for start in range(0, n_runs, batch_size):
         kb = keys[start:start + batch_size]
         n_in_batch = kb.shape[0]
-        pad = (-kb.shape[0]) % n_dev
+        pad = (-kb.shape[0]) % pad_unit
         if pad:
             # tile cyclically: the final batch may hold fewer rows than the
             # padding needs (n_in_batch < pad), so a single concat of
@@ -223,7 +228,8 @@ def rule_n_spectra(n_obs, n_vars, n_runs, *, complexify=False, rotated=False,
                    ensemble_axis='ensemble', spectrum='exact',
                    n_modes_fast=None, subspace_iters=12,
                    surrogate_source='draw', surrogate_dist='normal16',
-                   polar_method='ns', progress=None):
+                   polar_method='ns', progress=None,
+                   runs_per_dispatch=None):
     """Rule-N surrogate variance spectra (Overland & Preisendorfer 1982).
 
     TPU-native replacement for the reference's host loop
@@ -266,6 +272,7 @@ def rule_n_spectra(n_obs, n_vars, n_runs, *, complexify=False, rotated=False,
             polar_method=polar_method,
             batch_size=batch_size, mesh=mesh,
             ensemble_axis=ensemble_axis, progress=progress,
+            runs_per_dispatch=runs_per_dispatch,
         )
 
     if batch_size is None:
@@ -316,7 +323,8 @@ def _rule_n_generated(n_obs, n_vars, n_runs, *, complexify, rotated,
                       n_rot, power, tol, seed, n_modes_fast,
                       subspace_iters, dist, polar_method='ns',
                       batch_size=None, mesh=None,
-                      ensemble_axis='ensemble', progress=None):
+                      ensemble_axis='ensemble', progress=None,
+                      runs_per_dispatch=None):
     """The single-device TPU Rule-N production pipeline.
 
     The standard fused per-surrogate solve, with the Gaussian draws
@@ -388,6 +396,43 @@ def _rule_n_generated(n_obs, n_vars, n_runs, *, complexify, rotated,
                 hilbert_H=hilbert_H, polar_method=polar_method,
             )
         return one_run
+
+    if runs_per_dispatch is not None and int(runs_per_dispatch) > 1 \
+            and mesh is None:
+        # one fused device program covering k sequential runs
+        # (lax.map over the seed axis, each step the same
+        # vmap-over-one-lane body as the dispatched path).  The
+        # dispatched path is HOST-bound on tunneled backends: the
+        # enqueue alone costs ~18 ms/dispatch (a trivial jitted op
+        # pipelines at the same rate as the full surrogate), so the
+        # chip idles between runs.  Mapping k runs into one program
+        # pays one enqueue per k runs; the runs stay sequential
+        # in-device, so the heavy-tailed varimax while_loop tails
+        # never couple (unlike vmap batching, which pays every
+        # lane's max iteration count).
+        k = int(runs_per_dispatch)
+
+        def build_mapped():
+            one_run = build()
+
+            def mapped(seed_rows):                       # (k, 1) int32
+                res = jax.lax.map(
+                    lambda r: jax.vmap(one_run)(r[None]), seed_rows)
+                return jax.tree_util.tree_map(
+                    lambda x: jnp.reshape(
+                        x, (x.shape[0],) + x.shape[2:]),
+                    res,
+                )
+            return mapped
+
+        fn = _cached_ensemble_fn(cache_key + ('map', k), build_mapped,
+                                 vmapped=False)
+        spectra, totals, converged = _ensemble_map(
+            fn, seeds[:, None], k, progress=progress,
+            pad_to_batch=True,
+        )
+        keep = np.asarray(converged)
+        return spectra[keep], totals[keep]
 
     fn = _cached_ensemble_fn(cache_key, build)
     if batch_size is None:
