@@ -923,12 +923,26 @@ def fast_surrogate_variance_tri(seed, key, n_obs, n_vars, H=None,
                                         (n_pad, p_pad), 0) < n_obs)
               & (jax.lax.broadcasted_iota(jnp.int32,
                                           (n_pad, p_pad), 1) < p))
-        Xb = jnp.where(ok, X.astype(jnp.bfloat16), jnp.bfloat16(0))
-        # XLA fuses draw + mask + this column-sum reduction into the
-        # single generation pass (measured 2.1 ms/field either way at
-        # north-star shapes; a Pallas draw kernel with fused sums —
-        # ops.surrogate.sign_field_sums — measured 2.4 ms)
-        colsum = jnp.sum(Xb.astype(jnp.float32), axis=0)
+        # int8 draws (rademacher8) stay int8 all the way into the
+        # Gram: the syrk kernel then runs the MXU's 2x int8 path with
+        # exact int32 accumulation (bit-equal to the bf16 Gram for ±1
+        # values; 2.80 vs 4.41 ms/field measured on a v5e —
+        # scripts/int8_syrk_probe.py), and the masked field costs half
+        # the HBM of a bf16 copy.  Wider generated values (binomial
+        # 'normal16'/'normal32') keep the bf16 route.
+        if X.dtype == jnp.int8:
+            Xb = jnp.where(ok, X, jnp.int8(0))
+            colsum = jnp.sum(Xb, axis=0, dtype=jnp.int32).astype(
+                jnp.float32
+            )
+        else:
+            Xb = jnp.where(ok, X.astype(jnp.bfloat16), jnp.bfloat16(0))
+            # XLA fuses draw + mask + this column-sum reduction into
+            # the single generation pass (measured 2.1 ms/field either
+            # way at north-star shapes; a Pallas draw kernel with
+            # fused sums — ops.surrogate.sign_field_sums — measured
+            # 2.4 ms)
+            colsum = jnp.sum(Xb.astype(jnp.float32), axis=0)
         G = syrk(Xb, interpret=interpret)[:n_obs, :n_obs]
         mu = colsum / n_obs
         # centering from the Gram alone: mu_time = X^T 1 / n, so
@@ -972,7 +986,11 @@ def fast_surrogate_variance_tri(seed, key, n_obs, n_vars, H=None,
         # pad the (n_obs, k) weights to the padded row count
         S_pad = jnp.zeros((Xb.shape[0], S_stack.shape[1]),
                           jnp.float32).at[:n_obs].set(S_stack)
-        P = _data_dot(Xb.T, S_pad)[:p]
+        # int8 fields cast to bf16 inside the contraction (XLA fuses
+        # the convert into the operand read — the int8 field is half
+        # the HBM traffic of the bf16 copy it replaces)
+        Xc = Xb.astype(jnp.bfloat16) if Xb.dtype == jnp.int8 else Xb
+        P = _data_dot(Xc.T, S_pad)[:p]
         P = P - mu[:p, None] * jnp.sum(S_stack, axis=0)[None, :]
         return combine_analytic_projection(P) if complexify else P
 

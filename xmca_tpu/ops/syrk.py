@@ -43,11 +43,17 @@ def pad_to(n, p):
 
 @partial(jax.jit, static_argnames=('interpret',))
 def syrk(X, interpret=False):
-    """``X X^T`` (f32) of a pre-padded bf16 ``(n_pad, p_pad)`` array.
+    """``X X^T`` (f32) of a pre-padded bf16 or int8 ``(n_pad, p_pad)``
+    array.
 
     Lower-triangle blocks only, mirrored into the full symmetric
-    output.  ``interpret=True`` runs the kernel in Pallas interpret
-    mode (CPU tests).
+    output.  int8 input runs the MXU's 2x int8 path with exact int32
+    accumulation (measured 2.80 vs 4.41 ms at (2048, 102400) on a v5e
+    — 301 vs 191 T-dense-op/s — bit-equal Grams for ±1/binomial
+    values, scripts/int8_syrk_probe.py); the f32 return contract is
+    unchanged (every partial sum < 2^24 is f32-exact).
+    ``interpret=True`` runs the kernel in Pallas interpret mode (CPU
+    tests).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -56,6 +62,7 @@ def syrk(X, interpret=False):
     bm = _row_block(n_pad)
     if p_pad % BK:
         raise ValueError('p_pad must be a multiple of %d' % BK)
+    acc_dtype = jnp.int32 if X.dtype == jnp.int8 else jnp.float32
     nb = n_pad // bm
     tri = [(i, j) for i in range(nb) for j in range(i + 1)]
     i_arr = jnp.asarray([ij[0] for ij in tri], jnp.int32)
@@ -70,7 +77,7 @@ def syrk(X, interpret=False):
 
         g_ref[:] += jax.lax.dot_general(
             xi_ref[:], xj_ref[:], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc_dtype,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -88,9 +95,10 @@ def syrk(X, interpret=False):
     blocks = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((len(tri), bm, bm), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((len(tri), bm, bm), acc_dtype),
         interpret=interpret,
     )(i_arr, j_arr, X[None], X[None])
+    blocks = blocks.astype(jnp.float32)
 
     G = jnp.zeros((n_pad, n_pad), jnp.float32)
     for t, (i, j) in enumerate(tri):
